@@ -1,0 +1,233 @@
+"""Differential test: Python oracle vs the ACTUAL reference (node).
+
+Runs /root/reference/dist/uFuzzy.cjs through tests/js_ref_harness.cjs
+on seeded random corpora across config space and asserts identical
+idxs / info counters / ranges / order. This pins the oracle far more
+tightly than hand-written cases; the Spark verify UDF is in turn
+pinned to the oracle.
+
+Skipped automatically when node is unavailable.
+"""
+
+import json
+import math
+import random
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ufuzzy_spark.config import MatchConfig
+from ufuzzy_spark.oracle import UFuzzyOracle
+
+NODE = shutil.which("node")
+HARNESS = Path(__file__).parent / "js_ref_harness.cjs"
+
+pytestmark = pytest.mark.skipif(NODE is None, reason="node not available")
+
+WORDS = (
+    "cat catalog category cart chapter outcast test testing contest "
+    "ManifestTest latest fastest mania romanian TrackMania maniac "
+    "maniacally mania_foo ManiaStar example examples exemplar sample "
+    "maple extra blob bob bobby feed feeder feeding catPic puzzle "
+    "super awesome thing file name player player's guide metric_name "
+    "metric_type http_requests_total node_cpu_seconds UE4_Engine "
+    "SteamGame2023 wordlist12 45 2023 v1 v2 alpha beta GammaRay "
+    "naive cafe resume divide dividend"
+).split()
+
+
+def make_corpus(rng: random.Random, n: int) -> list[str]:
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 6)
+        out.append(" ".join(rng.choice(WORDS) for _ in range(k)))
+    return out
+
+
+def run_reference(cases: list[dict]) -> list[dict]:
+    proc = subprocess.run(
+        [NODE, str(HARNESS)],
+        input=json.dumps(cases).encode(),
+        capture_output=True,
+        check=True,
+    )
+    return json.loads(proc.stdout)
+
+
+def to_match_config(opts: dict) -> MatchConfig:
+    kw = {k: v for k, v in opts.items() if k != "compare"}
+    if kw.get("interIns") == "inf":
+        kw["interIns"] = math.inf
+    return MatchConfig(**kw)
+
+
+CONFIGS = [
+    {},                                  # defaults: MultiInsert, intraIns=0
+    {"intraIns": 1},
+    {"intraMode": 1},                    # SingleError
+    {"intraMode": 1, "intraIns": 1},
+    {"interLft": 1},
+    {"interLft": 2},
+    {"interRgt": 1},
+    {"interRgt": 2},
+    {"interLft": 2, "interRgt": 2},
+    {"interIns": 4},
+    {"intraMode": 1, "interLft": 1, "interRgt": 1},
+]
+
+NEEDLES = [
+    "cat",
+    "test",
+    "mania",
+    "example",
+    "exmaple",
+    "feed cat",
+    "super thing",
+    "metric name",
+    "player's",
+    '"cat"',
+    "cat -dog",
+    "apple -green -melon",
+    "tst",
+    "catx",
+    "2023",
+    "45",
+    "cat 45",
+    "maniacally test",
+    "a",
+    "xyzzy",
+]
+
+
+def _build_cases():
+    rng = random.Random(42)
+    corpus = make_corpus(rng, 300)
+    cases = []
+    for cfg in CONFIGS:
+        for needle in NEEDLES:
+            cases.append(
+                {
+                    "haystack": corpus,
+                    "needle": needle,
+                    "opts": {**cfg, "compare": "plain"},
+                    "outOfOrder": 0,
+                }
+            )
+    # out-of-order cases (default + fuzzier configs)
+    for cfg in ({}, {"intraIns": 1}, {"intraMode": 1}):
+        for needle in ("cat feed", "thing super awesome", "name metric http"):
+            cases.append(
+                {
+                    "haystack": corpus,
+                    "needle": needle,
+                    "opts": {**cfg, "compare": "plain"},
+                    "outOfOrder": 5,
+                }
+            )
+    return cases
+
+
+INFO_KEYS = (
+    "idx start chars cases terms interIns intraIns "
+    "interLft2 interRgt2 interLft1 interRgt1 ranges"
+).split()
+
+
+@pytest.fixture(scope="module")
+def parity_results():
+    cases = _build_cases()
+    ref = run_reference(cases)
+    return cases, ref
+
+
+def test_parity_full_sweep(parity_results):
+    cases, ref = parity_results
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def get_oracle(cfg_json):
+        uf = UFuzzyOracle(to_match_config(json.loads(cfg_json)))
+        uf.compare = lambda a, b: (a > b) - (a < b)  # plain cmp, as JS side
+        return uf
+
+    mismatches = []
+    for case, expected in zip(cases, ref):
+        opts = {k: v for k, v in case["opts"].items() if k != "compare"}
+        uf = get_oracle(json.dumps(opts, sort_keys=True))
+        idxs, info, order = uf.search(
+            case["haystack"], case["needle"], case["outOfOrder"]
+        )
+
+        tag = f"needle={case['needle']!r} opts={opts} ooo={case['outOfOrder']}"
+        if idxs != expected["idxs"]:
+            mismatches.append(f"{tag}: idxs {idxs} != {expected['idxs']}")
+            continue
+        einfo = expected["info"]
+        if (info is None) != (einfo is None):
+            mismatches.append(f"{tag}: info None-ness differs")
+            continue
+        if einfo is not None:
+            for key in INFO_KEYS:
+                got, exp = info.get(key, []), einfo.get(key) or []
+                if list(got) != list(exp):
+                    mismatches.append(
+                        f"{tag}: info[{key}] {got} != {exp}"
+                    )
+        if order != expected["order"] and expected["order"] is not None:
+            mismatches.append(f"{tag}: order {order} != {expected['order']}")
+
+    assert not mismatches, "\n".join(mismatches[:20]) + (
+        f"\n... {len(mismatches)} total" if len(mismatches) > 20 else ""
+    )
+
+
+def test_parity_random_fuzz_corpora():
+    """Random mutated-phrase corpora — the dedup-shaped workload."""
+    rng = random.Random(7)
+    base = make_corpus(rng, 120)
+
+    def mutate(s: str) -> str:
+        if len(s) < 4:
+            return s
+        i = rng.randrange(1, len(s) - 2)
+        op = rng.choice("ins del sub trn".split())
+        if op == "ins":
+            return s[:i] + rng.choice("abcdefghij") + s[i:]
+        if op == "del":
+            return s[:i] + s[i + 1:]
+        if op == "sub":
+            return s[:i] + rng.choice("abcdefghij") + s[i + 1:]
+        return s[:i] + s[i + 1] + s[i] + s[i + 2:]
+
+    corpus = base + [mutate(s) for s in base[:60]]
+    needles = [rng.choice(base).split()[0] for _ in range(25)]
+
+    cases = []
+    for cfg in ({}, {"intraIns": 1}, {"intraMode": 1}):
+        for needle in needles:
+            cases.append(
+                {
+                    "haystack": corpus,
+                    "needle": needle,
+                    "opts": {**cfg, "compare": "plain"},
+                    "outOfOrder": 0,
+                }
+            )
+
+    ref = run_reference(cases)
+    for case, expected in zip(cases, ref):
+        opts = {k: v for k, v in case["opts"].items() if k != "compare"}
+        uf = UFuzzyOracle(to_match_config(opts))
+        uf.compare = lambda a, b: (a > b) - (a < b)
+        idxs, info, order = uf.search(case["haystack"], case["needle"])
+        assert idxs == expected["idxs"], case["needle"]
+        if expected["info"] is not None:
+            for key in INFO_KEYS:
+                got = info.get(key, [])
+                exp = expected["info"].get(key) or []
+                assert list(got) == list(exp), (
+                    f"{case['needle']} {opts} info[{key}]"
+                )
+            assert order == expected["order"], case["needle"]
