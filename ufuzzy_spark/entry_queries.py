@@ -1,0 +1,762 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 over the
+driver testdata tables (documents/embeddings), expressed so that the
+Spark DataFrame plan and the ANSI-SQL oracle produce IDENTICAL values
+(the driver hash-compares them at sf=0.01).
+
+Shared deterministic 60-bit hash across engines:
+    Spark : conv(substr(md5(s),1,15),16,10)::long
+    DuckDB: ('0x' || substr(md5(s),1,15))::bigint
+
+The REAL pipeline uses the NumPy splitmix64 MinHash (faster, wider);
+these md5-based variants exist so candidate generation itself is
+cross-checkable in SQL. Semantics (shingle -> minhash -> band ->
+bucket -> verify -> connected components) are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufuzzy_spark.config import MatchConfig
+from ufuzzy_spark.latinize import ACCENT_DST, ACCENT_SRC
+from ufuzzy_spark.oracle import UFuzzyOracle
+
+# ---------------------------------------------------------------- #
+# shared helpers
+# ---------------------------------------------------------------- #
+
+SHINGLE_K = 5
+N_SEEDS = 4          # md5-parity minhash permutations
+STOPWORDS = "the a an and of to in is on for with as by at or".split()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def h60(col: Column) -> Column:
+    """Engine-portable 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def norm_col() -> Column:
+    return F.lower(F.translate(F.col("text"), ACCENT_SRC, ACCENT_DST))
+
+
+# DuckDB translate needs the same literal from/to strings
+_SRC_SQL = ACCENT_SRC.replace("'", "''")
+_DST_SQL = ACCENT_DST.replace("'", "''")
+NORM_SQL = f"lower(translate(text, '{_SRC_SQL}', '{_DST_SQL}'))"
+
+TOKEN_SPLIT = "[^A-Za-z\\d']+"
+
+
+def tokens_expr(norm: Column) -> Column:
+    return F.filter(F.split(norm, TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array({norm}, '[^A-Za-z\\d'']+'), x -> x != '')"
+)
+
+
+def _mi_pattern(needle: str) -> str:
+    """MultiInsert default-config filter regex from the real compiler
+    (oracle.prep_query — uFuzzy.mjs:250-392). RE2-safe for DuckDB:
+    default config emits no lookaheads (those appear only when
+    intraIns==1)."""
+    uf = UFuzzyOracle(MatchConfig())
+    q = uf.prep_query(needle)
+    assert q is not None
+    return q[0].pattern
+
+
+# ---------------------------------------------------------------- #
+# query registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------- #
+
+_REGISTRY: dict = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries():
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------- #
+# 1. normalize + tokenize (SURVEY §2 #1 split, #10 latinize)
+# ---------------------------------------------------------------- #
+
+@register(
+    "normalize_tokens",
+    f"""
+    SELECT doc_id,
+           {NORM_SQL} AS norm_text,
+           len({TOKENS_SQL.format(norm=NORM_SQL)})::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def q_normalize_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    norm = norm_col()
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(tokens_expr(norm)).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 2. fuzzy filter — MultiInsert compiled regex (SURVEY §2 #3,#4)
+# ---------------------------------------------------------------- #
+
+_NEEDLE = "spark join"
+_MI_RE = _mi_pattern(_NEEDLE)
+
+
+@register(
+    "fuzzy_filter",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches({NORM_SQL}, '(?i){_MI_RE}')
+    """,
+)
+def q_fuzzy_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.where(norm_col().rlike("(?i)" + _MI_RE)).select("doc_id")
+
+
+@register(
+    "fuzzy_filter_ooo",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches({NORM_SQL}, '(?i){_mi_pattern("join")}')
+      AND regexp_matches({NORM_SQL}, '(?i){_mi_pattern("spark")}')
+    """,
+)
+def q_fuzzy_filter_ooo(spark, sf_dir):
+    """Out-of-order AND pre-reduction (uFuzzy.mjs:812-828): per-term
+    isolation filters, order-invariant — no permutation fan-out."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    return d.where(
+        n.rlike("(?i)" + _mi_pattern("join")) & n.rlike("(?i)" + _mi_pattern("spark"))
+    ).select("doc_id")
+
+
+@register(
+    "negation_filter",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches({NORM_SQL}, '(?i){_mi_pattern("data")}')
+      AND NOT regexp_matches({NORM_SQL}, '(?i)stream')
+    """,
+)
+def q_negation_filter(spark, sf_dir):
+    """Substring negation anti-filter (uFuzzy.mjs:772-790,873-874)."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    return d.where(
+        n.rlike("(?i)" + _mi_pattern("data")) & ~n.rlike("(?i)stream")
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------- #
+# 3. rank comparator keys (SURVEY §2 #7 sort)
+# ---------------------------------------------------------------- #
+
+@register(
+    "rank_comparator",
+    f"""
+    SELECT doc_id,
+           (strpos({NORM_SQL}, 'query') - 1)::BIGINT AS start,
+           row_number() OVER (
+             ORDER BY strpos({NORM_SQL}, 'query') ASC, {NORM_SQL} ASC, doc_id ASC
+           )::BIGINT AS rnk
+    FROM documents
+    WHERE strpos({NORM_SQL}, 'query') > 0
+    """,
+)
+def q_rank_comparator(spark, sf_dir):
+    """Deterministic multi-key ranking: earliest start, then text,
+    then id — the start/collation tail of the reference comparator
+    (uFuzzy.mjs:103-108). chars/intraIns keys are constant for an
+    exact single-term needle and drop out."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    start = (F.instr(n, "query") - 1).cast("long")
+    matched = d.where(F.instr(n, "query") > 0).select(
+        "doc_id", start.alias("start"), n.alias("_norm")
+    )
+    w = Window.orderBy(F.asc("start"), F.asc("_norm"), F.asc("doc_id"))
+    return matched.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("doc_id", "start", "rnk")
+
+
+# ---------------------------------------------------------------- #
+# 4. exact dedup (hash groupBy; pipeline stage 2)
+# ---------------------------------------------------------------- #
+
+@register(
+    "exact_dedup",
+    """
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+    FROM documents
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    return d.select("doc_id", F.min("doc_id").over(w).alias("rep_id"))
+
+
+# ---------------------------------------------------------------- #
+# 5. minhash signatures (md5-parity family; SURVEY §2 #13 analog)
+# ---------------------------------------------------------------- #
+
+def _shingles_df(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) distinct char-K-grams of normalized text."""
+    d = _docs(spark, sf_dir)
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),"
+        f" i -> substring(norm, i, {SHINGLE_K}))"
+    )
+    return (
+        d.select("doc_id", norm_col().alias("norm"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id, substr(norm, i, {SHINGLE_K}) AS shingle
+    FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents) d
+    CROSS JOIN LATERAL unnest(
+        generate_series(1, greatest(length(norm) - {SHINGLE_K - 1}, 1))
+    ) AS t(i)
+"""
+
+_MINHASH_SQL = f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    seeded AS (
+        SELECT s.doc_id, t.seed,
+               {h60_sql("t.seed || '|' || s.shingle")} AS h
+        FROM shingles s
+        CROSS JOIN unnest(generate_series(0, {N_SEEDS - 1})) AS t(seed)
+    )
+    SELECT doc_id, seed::BIGINT AS seed, min(h) AS minhash
+    FROM seeded GROUP BY doc_id, seed
+"""
+
+
+def _minhash_df(spark, sf_dir) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    seeds = spark.range(N_SEEDS).select(F.col("id").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            h60(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+@register("minhash_signature", _MINHASH_SQL)
+def q_minhash_signature(spark, sf_dir):
+    return _minhash_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- #
+# 6. LSH band buckets + candidate pairs (SURVEY §2 #13)
+# ---------------------------------------------------------------- #
+
+_BANDS_SQL = f"""
+    WITH mh AS ({_MINHASH_SQL})
+    SELECT doc_id, (seed / 2)::BIGINT AS band_id,
+           {h60_sql("string_agg(minhash, ',' ORDER BY seed)")} AS band_hash
+    FROM mh GROUP BY doc_id, (seed / 2)::BIGINT
+"""
+
+_CANDS_SQL = f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+"""
+
+
+def _bands_df(spark, sf_dir) -> DataFrame:
+    mh = _minhash_df(spark, sf_dir)
+    return (
+        mh.withColumn("band_id", (F.col("seed") / 2).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            h60(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+@register("lsh_candidate_pairs", _CANDS_SQL)
+def q_lsh_candidate_pairs(spark, sf_dir):
+    bands = _bands_df(spark, sf_dir)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- #
+# 7. n-gram Jaccard verification of candidates
+# ---------------------------------------------------------------- #
+
+_JACCARD_SQL = f"""
+    WITH cands AS ({_CANDS_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           round(COALESCE(i.i, 0)::DOUBLE
+                 / (za.n + zb.n - COALESCE(i.i, 0)), 6) AS jaccard
+    FROM cands c
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+"""
+
+
+@register("ngram_jaccard", _JACCARD_SQL)
+def q_ngram_jaccard(spark, sf_dir):
+    cands = q_lsh_candidate_pairs(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")
+            ),
+            (F.col("id_b") == F.col("id_b")) & (F.col("shingle") == F.col("sh_b")),
+            "inner",
+        )
+    )
+    # cleaner: two keyed joins on (id, shingle)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        cands.join(za, "id_a")
+        .join(zb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- #
+# 8. dup clusters — LSH cands -> jaccard verify -> connected comps
+# ---------------------------------------------------------------- #
+
+_CLUSTERS_SQL = f"""
+    WITH jac AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, COALESCE(min(r.b), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@register("dup_clusters", _CLUSTERS_SQL)
+def q_dup_clusters(spark, sf_dir):
+    from ufuzzy_spark.operators.components import connected_components
+
+    jac = q_ngram_jaccard(spark, sf_dir)
+    near_edges = jac.where("jaccard >= 0.7").select("id_a", "id_b")
+    d = _docs(spark, sf_dir)
+    exact_edges = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.md5(F.col("a.text")) == F.md5(F.col("b.text")))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    edges = near_edges.unionByName(exact_edges).distinct()
+    cc = connected_components(
+        edges.select(
+            F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
+        ),
+        all_nodes=d.select(F.col("doc_id").alias("url")),
+    )
+    return cc.select(
+        F.col("url").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------- #
+# 9. SimHash fingerprint halves (bit-parallel majority)
+# ---------------------------------------------------------------- #
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKENS_SQL.format(norm=NORM_SQL)}) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, {h60_sql("tok")} AS h, count(*) AS w
+           FROM toks GROUP BY doc_id, tok),
+    bits AS (
+        SELECT doc_id, t.bit,
+               CASE WHEN sum(CASE WHEN (h >> t.bit) & 1 = 1 THEN w ELSE -w END) >= 0
+                    THEN 1 ELSE 0 END AS bitval
+        FROM th CROSS JOIN unnest(generate_series(0, 59)) AS t(bit)
+        GROUP BY doc_id, t.bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN bit < 30 THEN bitval * (1::BIGINT << bit) ELSE 0 END) AS fp_lo,
+           sum(CASE WHEN bit >= 30 THEN bitval * (1::BIGINT << (bit - 30)) ELSE 0 END) AS fp_hi
+    FROM bits GROUP BY doc_id
+"""
+
+
+@register("simhash_fingerprint", _SIMHASH_SQL)
+def q_simhash_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(norm_col())).alias("tok")
+    )
+    th = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w")).select(
+        "doc_id", h60(F.col("tok")).alias("h"), "w"
+    )
+    bits = spark.range(60).select(F.col("id").cast("int").alias("bit"))
+    bitvals = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(
+                        F.shiftrightunsigned(F.col("h"), F.col("bit")) % 2 == 1,
+                        F.col("w"),
+                    ).otherwise(-F.col("w"))
+                )
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bitval")
+        )
+    )
+    return bitvals.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("bit") < 30,
+                F.col("bitval").cast("long") * F.shiftleft(F.lit(1).cast("long"), F.col("bit")),
+            ).otherwise(0)
+        ).alias("fp_lo"),
+        F.sum(
+            F.when(
+                F.col("bit") >= 30,
+                F.col("bitval").cast("long")
+                * F.shiftleft(F.lit(1).cast("long"), F.col("bit") - 30),
+            ).otherwise(0)
+        ).alias("fp_hi"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 10. text analysis: lang-id, quality, token counts, fingerprint
+# ---------------------------------------------------------------- #
+
+_STOP_RE = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({TOKENS_SQL.format(norm=NORM_SQL)})::BIGINT AS n_tokens,
+               len(regexp_extract_all({NORM_SQL}, '{_STOP_RE}'))::BIGINT AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+           CASE WHEN n_stop::DOUBLE / greatest(n_tokens, 1) >= 0.03
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM t
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    n_tokens = F.size(tokens_expr(n)).cast("long")
+    n_stop = F.size(F.expr(f"regexp_extract_all({_norm_expr_sql()}, '{_STOP_RE}', 0)")).cast(
+        "long"
+    )
+    ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.03, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+def _norm_expr_sql() -> str:
+    """Spark SQL-expression string of norm_col (for F.expr contexts)."""
+    src = ACCENT_SRC.replace("'", "\\'")
+    dst = ACCENT_DST.replace("'", "\\'")
+    return f"lower(translate(text, '{src}', '{dst}'))"
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               len({TOKENS_SQL.format(norm=NORM_SQL)})::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[[:punct:]]'))::BIGINT AS n_punct,
+               len(regexp_extract_all(text, '\\d'))::BIGINT AS n_digit
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(n_digit::DOUBLE / greatest(n_chars, 1), 6) AS digit_ratio,
+           round(n_chars::DOUBLE / greatest(n_tokens, 1), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(tokens_expr(norm_col())).cast("long")
+    n_punct = F.size(F.expr("regexp_extract_all(text, '\\\\p{Punct}', 0)")).cast("long")
+    n_digit = F.size(F.expr("regexp_extract_all(text, '\\\\d', 0)")).cast("long")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+           len({TOKENS_SQL.format(norm=NORM_SQL)})::BIGINT AS alnum_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|\\d+|[^a-z\\d\\s]'))::BIGINT
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").alias(
+            "ws_tokens"
+        ),
+        F.size(tokens_expr(norm_col())).cast("long").alias("alnum_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+|\\\\d+|[^a-z\\\\d\\\\s]', 0)")
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({NORM_SQL}) AS fp_md5,
+           {h60_sql(NORM_SQL)} AS fp60
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    return d.select("doc_id", F.md5(n).alias("fp_md5"), h60(n).alias("fp60"))
+
+
+# ---------------------------------------------------------------- #
+# 11. embeddings: brute-force cosine top-k + stats
+# ---------------------------------------------------------------- #
+
+_N_QUERIES = 5
+_TOP_K = 5
+
+_ANN_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    pairs AS (
+        SELECT qid, cid,
+            list_sum(list_transform(range(1, 65),
+                i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))))
+            AS sim
+        FROM q CROSS JOIN c WHERE qid != cid
+    ),
+    ranked AS (
+        SELECT qid, cid, round(sim, 6) AS sim_r,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY round(sim, 6) DESC, cid ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT qid, cid, sim_r, rnk::BIGINT AS rnk FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("ann_cosine_topk", _ANN_SQL)
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    qs = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cs = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce"))))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_r"), F.asc("cid"))
+    return (
+        pairs.withColumn("sim_r", F.round("sim", 6))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("qid", "cid", "sim_r", "rnk")
+    )
+
+
+@register(
+    "embedding_stats",
+    """
+    SELECT label,
+           count(*)::BIGINT AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE)))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_stats(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return e.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+    )

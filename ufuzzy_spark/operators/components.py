@@ -1,0 +1,109 @@
+"""Connected components over verified dup edges -> cluster ids.
+
+Iterative min-label propagation to fixpoint, driver-owned loop
+(Catalyst cannot express iteration; SURVEY.md §4). Dup graphs are
+near-star-shaped (mutated copies around a base doc), so convergence
+is O(cluster diameter) — typically 2-4 rounds. Each round:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+with ``localCheckpoint`` per round to truncate lineage (the plan
+would otherwise double every iteration). Labels are the cluster's
+minimum url — deterministic and shuffle-stable, matching the fixture
+convention (FIXTURES.md F4: cluster_id = min url in cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(url_a, url_b) -> (url, cluster_id).
+
+    ``all_nodes`` (one ``url`` column) optionally adds isolated docs,
+    which come back as singleton clusters (cluster_id = own url).
+    """
+    # undirected adjacency, both directions
+    sym = edges.select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+    )
+
+    labels = (
+        sym.select(F.col("src").alias("url"))
+        .distinct()
+        .withColumn("label", F.col("url"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("url", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "url")
+        )
+        new_labels = (
+            labels.join(nbr_min, "url", "left")
+            .select(
+                "url",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "url")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels.withColumnRenamed("label", "cluster_id")
+    if all_nodes is not None:
+        singletons = (
+            all_nodes.select("url")
+            .join(out, "url", "left_anti")
+            .withColumn("cluster_id", F.col("url"))
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
+def elect_canonical(
+    clusters: DataFrame, normed: DataFrame
+) -> DataFrame:
+    """Per-cluster canonical doc via the reference rank-comparator keys.
+
+    The reference's sort (uFuzzy.mjs:74-110) ranks matches by match
+    quality; for cluster canonicalization the analogous deterministic
+    multi-key order is: longest normalized text DESC (most complete
+    copy), earliest warc_ts ASC (first crawl), url ASC (tiebreak).
+    """
+    from pyspark.sql import Window
+
+    enriched = clusters.join(
+        normed.select("url", F.length("norm_text").alias("n_chars"), "warc_ts"),
+        "url",
+        "left",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("warc_ts"), F.asc("url")
+    )
+    return (
+        enriched.withColumn("rnk", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("rnk") == 1)
+        .drop("rnk", "n_chars", "warc_ts")
+    )

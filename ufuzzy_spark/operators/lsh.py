@@ -1,0 +1,128 @@
+"""LSH candidate generation — band hashing, bucketing, pair expansion.
+
+The reference's inverted-index demo fuzzy-expands query terms over a
+small vocabulary and intersects posting lists
+(demos/inverted-index.html:73-111); LSH band buckets are exactly that
+structure: postings keyed by signature fragments, candidate pair =
+same-bucket co-occurrence (SURVEY.md §2 #13).
+
+Scale design (one shuffle for the whole stage):
+- explode bands (narrow), hash each band slice with xxhash64 (JVM)
+- ONE shuffle: window over (band_id, band_hash) ordered by url
+- in-bucket pair expansion is a narrow array transform (no self-join)
+- buckets larger than max_bucket_size emit star edges (member ->
+  bucket-min) instead of quadratic pairs — the reference's
+  combinatorial cap + graceful degradation pattern
+  (uFuzzy.mjs:763,830-833): bounded cost, connectivity preserved
+- cross-band duplicate pairs collapse via dropDuplicates (the
+  matchedIdxs Set analog, uFuzzy.mjs:839-857)
+
+Skew: identical docs never reach LSH (exact-hash pre-dedup runs
+first, operators/dedup.py), the bucket cap bounds any residual hot
+key, and AQE skew-join splitting covers the verify-stage text joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ufuzzy_spark.config import PipelineConfig
+
+
+def band_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:
+    """sigs(url, minhash) -> (url, band_id, band_hash). Narrow."""
+    pcfg = pcfg or PipelineConfig()
+    rows = pcfg.rows_per_band
+    bands_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(pcfg.bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(b, F.slice(F.col("minhash"), b * rows + 1, rows)).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    return (
+        sigs.select("url", F.explode(bands_expr).alias("band"))
+        .select("url", "band.band_id", "band.band_hash")
+    )
+
+
+def candidate_pairs(
+    buckets: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """(url, band_id, band_hash) -> distinct (url_a, url_b), url_a < url_b."""
+    pcfg = pcfg or PipelineConfig()
+    cap = pcfg.max_bucket_size
+
+    w = Window.partitionBy("band_id", "band_hash").orderBy("url")
+    ranked = buckets.withColumn("rn", F.row_number().over(w)).withColumn(
+        "bucket_min", F.min("url").over(Window.partitionBy("band_id", "band_hash"))
+    )
+
+    # full pairwise expansion for capped bucket members (narrow after
+    # the window shuffle): groupBy on the same keys reuses partitioning
+    in_cap = ranked.where(F.col("rn") <= cap)
+    grouped = in_cap.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("url")).alias("urls")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("urls"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("urls"), i + 2, F.greatest(F.size("urls") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
+            ),
+        )
+    )
+    quad_pairs = (
+        grouped.where(F.size("urls") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.url_a", "p.url_b")
+    )
+
+    # overflow members: star edges to the bucket representative —
+    # bounded-linear instead of quadratic (cap/degrade, uFuzzy.mjs:830-833)
+    star_pairs = (
+        ranked.where(F.col("rn") > cap)
+        .select(
+            F.col("bucket_min").alias("url_a"), F.col("url").alias("url_b")
+        )
+        .where(F.col("url_a") != F.col("url_b"))
+    )
+
+    return quad_pairs.unionByName(star_pairs).dropDuplicates(["url_a", "url_b"])
+
+
+def simhash_candidates(
+    sigs: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Hamming-ball candidates from 64-bit SimHash via the band trick.
+
+    Split the fingerprint into (max_hamming+1) chunks: any pair within
+    Hamming distance max_hamming agrees exactly on >= 1 chunk
+    (pigeonhole), so bucketing per chunk has recall 1.0 for the ball.
+    Same single-shuffle bucket-expansion machinery as MinHash bands.
+    """
+    pcfg = pcfg or PipelineConfig()
+    n_chunks = pcfg.simhash_max_hamming + 1
+    bits_per = 64 // n_chunks
+
+    chunks_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+        lambda c: F.struct(
+            (c + F.lit(1000)).cast("int").alias("band_id"),  # disjoint id space
+            F.xxhash64(
+                c, F.shiftrightunsigned(F.col("simhash"), c * bits_per)
+                % F.lit(2 ** bits_per)
+            ).alias("band_hash"),
+        ),
+    )
+    buckets = (
+        sigs.select("url", F.explode(chunks_expr).alias("band"))
+        .select("url", "band.band_id", "band.band_hash")
+    )
+    return candidate_pairs(buckets, pcfg)

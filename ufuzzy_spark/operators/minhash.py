@@ -1,0 +1,55 @@
+"""Signature stage — MinHash + SimHash via Arrow-vectorized pandas UDFs.
+
+The reference's filter() is a cheap recall-oriented pre-pass
+(uFuzzy.mjs:394-418, README.md:304-308); at scale that role is played
+by signatures + LSH. No per-row Python: each UDF receives an Arrow
+batch and runs the NumPy kernels in functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ufuzzy_spark.config import PipelineConfig
+from ufuzzy_spark.functions.hashing import minhash_signatures, simhash_fingerprints
+
+
+def make_minhash_udf(pcfg: PipelineConfig):
+    k, num_perm = pcfg.shingle_k, pcfg.num_perm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        sigs = minhash_signatures(texts.fillna("").tolist(), k, num_perm)
+        return pd.Series(list(sigs))
+
+    return minhash_udf
+
+
+def make_simhash_udf(pcfg: PipelineConfig):
+    bits = pcfg.simhash_bits
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(tokens: pd.Series) -> pd.Series:
+        fps = simhash_fingerprints(tokens.tolist(), bits)
+        return pd.Series(fps)
+
+    return simhash_udf
+
+
+def signatures(normed: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:
+    """normed(url, norm_sorted, tokens, ...) -> + minhash, simhash.
+
+    Narrow stage. Signatures are computed over the order-invariant
+    ``norm_sorted`` form (see operators/normalize.py) so out-of-order
+    near-dups (reference OOO semantics, uFuzzy.mjs:812-858) keep high
+    estimated Jaccard.
+    """
+    pcfg = pcfg or PipelineConfig()
+    mh = make_minhash_udf(pcfg)
+    sh = make_simhash_udf(pcfg)
+    return normed.withColumn("minhash", mh(F.col("norm_sorted"))).withColumn(
+        "simhash", sh(F.col("tokens"))
+    )

@@ -1,0 +1,126 @@
+"""Verification stage — the reference's info() precision pass at scale.
+
+Candidate pairs from LSH are recall-oriented (like filter(),
+uFuzzy.mjs:394-418); this stage applies the EXACT bounded-edit pair
+predicate (pairdup.PairVerifier — the same code that labels the
+golden fixtures) and emits pair features, the dedup reinterpretation
+of the reference's Info struct (dist/uFuzzy.d.ts:175-207).
+
+Scale notes:
+- texts are attached by two equi-joins on url; only the verification
+  window (2 x verify_window_chars) is shuffled, not full documents
+- the predicate runs in an Arrow-batched pandas UDF; per-term regexes
+  are compiled once per executor and LRU-shared across pairs (the
+  reference's compile-once pattern, uFuzzy.mjs:222-226)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from ufuzzy_spark.config import MatchConfig, PipelineConfig
+
+VERIFY_SCHEMA = StructType(
+    [
+        StructField("score", DoubleType()),
+        StructField("is_dup", BooleanType()),
+        StructField("terms_a", IntegerType()),
+        StructField("terms_b", IntegerType()),
+        StructField("matched_a", IntegerType()),
+        StructField("matched_b", IntegerType()),
+        StructField("exact", BooleanType()),
+    ]
+)
+
+# per-executor verifier cache keyed by config hash (compile-once)
+_VERIFIERS: dict = {}
+
+
+def _get_verifier(pcfg_tuple):
+    from ufuzzy_spark.pairdup import PairVerifier
+
+    if pcfg_tuple not in _VERIFIERS:
+        match_kw, pipe_kw = pcfg_tuple
+        pcfg = PipelineConfig(match=MatchConfig(**dict(match_kw)), **dict(pipe_kw))
+        _VERIFIERS[pcfg_tuple] = PairVerifier(pcfg)
+    return _VERIFIERS[pcfg_tuple]
+
+
+def _pcfg_tuple(pcfg: PipelineConfig):
+    """Picklable, hashable config representation for executor closures."""
+    from dataclasses import asdict
+
+    d = asdict(pcfg)
+    match = d.pop("match")
+    match["intraSlice"] = tuple(match["intraSlice"])
+    return (tuple(sorted(match.items())), tuple(sorted(d.items())))
+
+
+def make_verify_udf(pcfg: PipelineConfig):
+    key = _pcfg_tuple(pcfg)
+
+    @F.pandas_udf(VERIFY_SCHEMA)
+    def verify_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
+        v = _get_verifier(key)
+        rows = [
+            v.verify(a if isinstance(a, str) else "", b if isinstance(b, str) else "")
+            for a, b in zip(norm_a, norm_b)
+        ]
+        return pd.DataFrame(
+            {
+                "score": [r.score for r in rows],
+                "is_dup": [r.is_dup for r in rows],
+                "terms_a": [r.terms_a for r in rows],
+                "terms_b": [r.terms_b for r in rows],
+                "matched_a": [r.matched_a for r in rows],
+                "matched_b": [r.matched_b for r in rows],
+                "exact": [r.exact for r in rows],
+            }
+        )
+
+    return verify_udf
+
+
+def verify_pairs(
+    pairs: DataFrame, normed: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """(url_a, url_b) x normed(url, norm_text) -> pair_features.
+
+    Returns all columns of VERIFY_SCHEMA plus the pair key; callers
+    filter ``is_dup`` (discard ≙ WHERE, uFuzzy.mjs:556-558).
+    """
+    pcfg = pcfg or PipelineConfig()
+    # ship only the verification window through the shuffle
+    win = 2 * pcfg.verify_window_chars
+    texts = normed.select(
+        "url", F.substring("norm_text", 1, win).alias("norm_win")
+    )
+
+    joined = (
+        pairs.join(
+            texts.select(
+                F.col("url").alias("url_a"), F.col("norm_win").alias("norm_a")
+            ),
+            "url_a",
+        )
+        .join(
+            texts.select(
+                F.col("url").alias("url_b"), F.col("norm_win").alias("norm_b")
+            ),
+            "url_b",
+        )
+    )
+
+    vu = make_verify_udf(pcfg)
+    return joined.withColumn("v", vu("norm_a", "norm_b")).select(
+        "url_a", "url_b", "v.*"
+    )

@@ -1,0 +1,154 @@
+"""End-to-end near-duplicate pipeline — the Spark analog of
+uFuzzy's filter -> info -> sort lifecycle (SURVEY.md §3).
+
+    pages --normalize(narrow)--> normed
+          --exact_dedup(1 shuffle)--> exact star edges + reps
+          --signatures(narrow pandas UDFs)--> minhash/simhash
+          --LSH bands(1 shuffle)--> candidate pairs
+          --verify(pair-text joins + Arrow UDF)--> verified pairs
+          --connected components(iterative)--> clusters
+          --canonical election(window)--> final table
+
+Each stage is a separately runnable DataFrame -> DataFrame function
+(the reference's own à-la-carte architecture, README.md:139-181),
+which is what makes per-stage checkpointing and resume possible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufuzzy_spark.config import PipelineConfig
+from ufuzzy_spark.operators.components import connected_components, elect_canonical
+from ufuzzy_spark.operators.dedup import exact_dedup
+from ufuzzy_spark.operators.lsh import band_buckets, candidate_pairs
+from ufuzzy_spark.operators.minhash import signatures
+from ufuzzy_spark.operators.normalize import normalize
+from ufuzzy_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame           # url, cluster_id, is_canonical
+    verified_pairs: DataFrame     # url_a, url_b, score, is_dup, ...
+    candidate_pairs: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    pcfg: PipelineConfig | None = None,
+    include_langs: tuple[str, ...] = ("en",),
+    checkpoint_dir: str | None = None,
+) -> PipelineResult:
+    pcfg = pcfg or PipelineConfig()
+    metrics: dict = {"config_hash": pcfg.config_hash(), "stages": {}}
+
+    def timed(name, df_fn):
+        t0 = time.time()
+        out = df_fn()
+        metrics["stages"][name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. normalize (narrow) — only dedup-eligible languages proceed
+    in_scope = pages.where(F.col("lang").isin(*include_langs))
+    normed = normalize(in_scope, pcfg.match)
+
+    # 2. exact-hash pre-dedup: strips identical-content mass before LSH
+    exact_edges, reps = exact_dedup(normed)
+    if checkpoint_dir:
+        reps = _checkpoint(reps, checkpoint_dir, "reps")
+        exact_edges = _checkpoint(exact_edges, checkpoint_dir, "exact_edges")
+
+    # 3. signatures over representatives only (narrow, Arrow UDFs)
+    sigs = signatures(reps, pcfg)
+    if checkpoint_dir:
+        sigs = _checkpoint(
+            sigs.select("url", "minhash", "simhash"), checkpoint_dir, "signatures"
+        )
+    else:
+        sigs = sigs.select("url", "minhash", "simhash")
+
+    # 4. LSH candidates (one shuffle + distinct)
+    cands = candidate_pairs(band_buckets(sigs, pcfg), pcfg)
+    if checkpoint_dir:
+        cands = _checkpoint(cands, checkpoint_dir, "candidate_pairs")
+
+    # 5. bounded-edit verification (precision pass)
+    verified = verify_pairs(cands, normed, pcfg)
+    dup_edges = verified.where("is_dup").select("url_a", "url_b")
+    if checkpoint_dir:
+        verified = _checkpoint(verified, checkpoint_dir, "verified_pairs")
+        dup_edges = verified.where("is_dup").select("url_a", "url_b")
+
+    # 6. connected components over exact + verified edges
+    all_edges = exact_edges.unionByName(dup_edges)
+    clusters = connected_components(
+        all_edges, all_nodes=normed.select("url")
+    )
+
+    # 7. canonical election
+    clusters = elect_canonical(clusters, normed)
+
+    return PipelineResult(clusters, verified, cands, metrics)
+
+
+def _checkpoint(df: DataFrame, base: str, name: str) -> DataFrame:
+    """Parquet-materialize a stage (resumable; Iceberg-shaped layout)."""
+    path = f"{base}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def main() -> None:
+    from ufuzzy_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="pages parquet path")
+    ap.add_argument("--rows", type=int, default=5000, help="synthesize N pages")
+    ap.add_argument("--output", default="/tmp/ufz_out")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("ufuzzy-pipeline", master=args.master)
+
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        from fixtures.gen import write_fixtures
+
+        fix = write_fixtures("/tmp/ufz_fixtures_cli", args.rows, label_pairs=False)
+        pages = spark.read.parquet(str(fix / "pages.parquet"))
+
+    t0 = time.time()
+    res = run_pipeline(spark, pages)
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.verified_pairs.write.mode("overwrite").parquet(
+        f"{args.output}/verified_pairs"
+    )
+    wall = time.time() - t0
+
+    n_docs = pages.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "clusters": n_clusters,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "metrics": res.metrics,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
