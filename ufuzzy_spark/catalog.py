@@ -1,0 +1,99 @@
+"""Iceberg-shaped local table catalog.
+
+No Iceberg runtime jar exists in this container (SURVEY.md §7), so
+tables are written in an Iceberg-*layout* directory scheme the rest
+of the pipeline treats as the table abstraction:
+
+    <root>/<table>/
+        snapshot-00000001/part-*.parquet
+        snapshot-00000002/part-*.parquet
+        _LATEST              (text file: current snapshot id)
+
+Swap ``LocalParquetCatalog`` for a real Iceberg catalog by replacing
+this module's backend only — call sites use read/write/append/
+snapshots. Snapshot history is what enables incremental dedup
+(streaming/incremental.py) and resume (pipeline lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalParquetCatalog:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------- #
+
+    def _tdir(self, table: str) -> Path:
+        return self.root / table
+
+    def snapshots(self, table: str) -> list[int]:
+        t = self._tdir(table)
+        if not t.exists():
+            return []
+        return sorted(
+            int(p.name.split("-")[1])
+            for p in t.iterdir()
+            if p.is_dir() and p.name.startswith("snapshot-")
+        )
+
+    def latest_snapshot(self, table: str) -> int | None:
+        marker = self._tdir(table) / "_LATEST"
+        if marker.exists():
+            return int(marker.read_text().strip())
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def _snap_path(self, table: str, snap: int) -> Path:
+        return self._tdir(table) / f"snapshot-{snap:08d}"
+
+    # -- I/O -------------------------------------------------------- #
+
+    def write(self, df: DataFrame, table: str, partition_by=None) -> int:
+        """New snapshot (full table state). Returns snapshot id."""
+        snap = (self.latest_snapshot(table) or 0) + 1
+        path = self._snap_path(table, snap)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(path))
+        meta = {
+            "snapshot": snap,
+            "ts": time.time(),
+            "schema": df.schema.json(),
+            "partition_by": partition_by or [],
+        }
+        (path / "_META.json").write_text(json.dumps(meta))
+        (self._tdir(table) / "_LATEST").write_text(str(snap))
+        return snap
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot: int | None = None
+    ) -> DataFrame:
+        snap = snapshot if snapshot is not None else self.latest_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no snapshots")
+        return spark.read.parquet(str(self._snap_path(table, snap)))
+
+    def diff_new(
+        self,
+        spark: SparkSession,
+        table: str,
+        since: int,
+        key: str = "url",
+    ) -> DataFrame:
+        """Rows in latest snapshot whose key is absent at ``since`` —
+        the incremental-ingest seam (Iceberg snapshot diff)."""
+        latest = self.read(spark, table)
+        old = self.read(spark, table, since)
+        return latest.join(old.select(key), key, "left_anti")
+
+    def exists(self, table: str) -> bool:
+        return self.latest_snapshot(table) is not None

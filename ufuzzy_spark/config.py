@@ -95,10 +95,17 @@ class PipelineConfig:
 
     # normalization / shingling
     shingle_k: int = 5                 # char k-grams over normalized text
-    # signature
+    # signature 1: char-shingle MinHash over original-order text
     num_perm: int = 128                # MinHash permutations
     bands: int = 16
     rows_per_band: int = 8
+    # signature 2: token-bag MinHash (order-invariant OOO catcher).
+    # 4 bands x 8 rows -> s50 = (1/4)^(1/8) ≈ 0.84 bag-Jaccard: above
+    # the random-pair tail (~0.6 on homogeneous corpora) and far below
+    # OOO dups (bag-Jaccard 1.0 by construction)
+    bag_num_perm: int = 32
+    bag_bands: int = 4
+    bag_rows: int = 8
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     # candidate generation hygiene
@@ -119,6 +126,11 @@ class PipelineConfig:
             raise ValueError(
                 f"bands*rows_per_band ({self.bands}x{self.rows_per_band}) "
                 f"must equal num_perm ({self.num_perm})"
+            )
+        if self.bag_bands * self.bag_rows != self.bag_num_perm:
+            raise ValueError(
+                f"bag_bands*bag_rows ({self.bag_bands}x{self.bag_rows}) "
+                f"must equal bag_num_perm ({self.bag_num_perm})"
             )
 
     def config_hash(self) -> str:

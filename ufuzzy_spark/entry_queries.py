@@ -298,9 +298,9 @@ def q_minhash_signature(spark, sf_dir):
 
 _BANDS_SQL = f"""
     WITH mh AS ({_MINHASH_SQL})
-    SELECT doc_id, (seed / 2)::BIGINT AS band_id,
+    SELECT doc_id, (seed // 2)::BIGINT AS band_id,
            {h60_sql("string_agg(minhash, ',' ORDER BY seed)")} AS band_hash
-    FROM mh GROUP BY doc_id, (seed / 2)::BIGINT
+    FROM mh GROUP BY doc_id, (seed // 2)::BIGINT
 """
 
 _CANDS_SQL = f"""
@@ -315,7 +315,7 @@ _CANDS_SQL = f"""
 def _bands_df(spark, sf_dir) -> DataFrame:
     mh = _minhash_df(spark, sf_dir)
     return (
-        mh.withColumn("band_id", (F.col("seed") / 2).cast("long"))
+        mh.withColumn("band_id", F.expr("seed div 2").cast("long"))
         .groupBy("doc_id", "band_id")
         .agg(
             h60(
@@ -380,17 +380,6 @@ def q_ngram_jaccard(spark, sf_dir):
     cands = q_lsh_candidate_pairs(spark, sf_dir)
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cands.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .join(
-            sh.select(
-                F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")
-            ),
-            (F.col("id_b") == F.col("id_b")) & (F.col("shingle") == F.col("sh_b")),
-            "inner",
-        )
-    )
-    # cleaner: two keyed joins on (id, shingle)
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -422,7 +411,7 @@ def q_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------- #
 
 _CLUSTERS_SQL = f"""
-    WITH jac AS ({_JACCARD_SQL}),
+    WITH RECURSIVE jac AS ({_JACCARD_SQL}),
     edges AS (
         SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7
         UNION
@@ -493,8 +482,8 @@ _SIMHASH_SQL = f"""
         GROUP BY doc_id, t.bit
     )
     SELECT doc_id,
-           sum(CASE WHEN bit < 30 THEN bitval * (1::BIGINT << bit) ELSE 0 END) AS fp_lo,
-           sum(CASE WHEN bit >= 30 THEN bitval * (1::BIGINT << (bit - 30)) ELSE 0 END) AS fp_hi
+           sum(CASE WHEN bit < 30 THEN bitval * (1::BIGINT << bit) ELSE 0 END)::BIGINT AS fp_lo,
+           sum(CASE WHEN bit >= 30 THEN bitval * (1::BIGINT << (bit - 30)) ELSE 0 END)::BIGINT AS fp_hi
     FROM bits GROUP BY doc_id
 """
 
@@ -515,10 +504,9 @@ def q_simhash_fingerprint(spark, sf_dir):
         .agg(
             F.when(
                 F.sum(
-                    F.when(
-                        F.shiftrightunsigned(F.col("h"), F.col("bit")) % 2 == 1,
-                        F.col("w"),
-                    ).otherwise(-F.col("w"))
+                    F.when(F.expr("(h >> bit) & 1 = 1"), F.col("w")).otherwise(
+                        -F.col("w")
+                    )
                 )
                 >= 0,
                 1,
@@ -531,14 +519,13 @@ def q_simhash_fingerprint(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("bit") < 30,
-                F.col("bitval").cast("long") * F.shiftleft(F.lit(1).cast("long"), F.col("bit")),
+                F.expr("cast(bitval as bigint) * shiftleft(1L, bit)"),
             ).otherwise(0)
         ).alias("fp_lo"),
         F.sum(
             F.when(
                 F.col("bit") >= 30,
-                F.col("bitval").cast("long")
-                * F.shiftleft(F.lit(1).cast("long"), F.col("bit") - 30),
+                F.expr("cast(bitval as bigint) * shiftleft(1L, bit - 30)"),
             ).otherwise(0)
         ).alias("fp_hi"),
     )
@@ -571,22 +558,13 @@ def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir)
     n = norm_col()
     n_tokens = F.size(tokens_expr(n)).cast("long")
-    n_stop = F.size(F.expr(f"regexp_extract_all({_norm_expr_sql()}, '{_STOP_RE}', 0)")).cast(
-        "long"
-    )
+    n_stop = F.size(F.regexp_extract_all(n, F.lit(_STOP_RE), F.lit(0))).cast("long")
     ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
     return d.select(
         "doc_id",
         F.round(ratio, 6).alias("stop_ratio"),
         F.when(ratio >= 0.03, "en").otherwise("other").alias("lang_guess"),
     )
-
-
-def _norm_expr_sql() -> str:
-    """Spark SQL-expression string of norm_col (for F.expr contexts)."""
-    src = ACCENT_SRC.replace("'", "\\'")
-    dst = ACCENT_DST.replace("'", "\\'")
-    return f"lower(translate(text, '{src}', '{dst}'))"
 
 
 @register(
@@ -611,8 +589,12 @@ def q_quality_score(spark, sf_dir):
     d = _docs(spark, sf_dir)
     n_chars = F.length("text").cast("long")
     n_tokens = F.size(tokens_expr(norm_col())).cast("long")
-    n_punct = F.size(F.expr("regexp_extract_all(text, '\\\\p{Punct}', 0)")).cast("long")
-    n_digit = F.size(F.expr("regexp_extract_all(text, '\\\\d', 0)")).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\p{Punct}"), F.lit(0))
+    ).cast("long")
+    n_digit = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\d"), F.lit(0))
+    ).cast("long")
     return d.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -644,12 +626,14 @@ def q_token_count(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").alias(
-            "ws_tokens"
-        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+        .cast("long")
+        .alias("ws_tokens"),
         F.size(tokens_expr(norm_col())).cast("long").alias("alnum_tokens"),
         F.size(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+|\\\\d+|[^a-z\\\\d\\\\s]', 0)")
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|\d+|[^a-z\d\s]"), F.lit(0)
+            )
         )
         .cast("long")
         .alias("bpe_ish_tokens"),

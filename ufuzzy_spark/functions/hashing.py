@@ -76,6 +76,27 @@ def kgram_hashes(text: str, k: int) -> np.ndarray:
         np.seterr(**old)
 
 
+def kgram_hashes_positional(text: str, k: int) -> np.ndarray:
+    """Rolling k-gram hashes in POSITIONAL order (for winnowing —
+    window minima need original gram order, unlike the MinHash path
+    which dedups)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if b.size < k:
+        k = b.size
+    old = np.seterr(over="ignore")
+    try:
+        pows = np.empty(k, dtype=np.uint64)
+        pows[-1] = 1
+        for i in range(k - 2, -1, -1):
+            pows[i] = pows[i + 1] * np.uint64(257)
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+        return splitmix64((win * pows).sum(axis=1, dtype=np.uint64))
+    finally:
+        np.seterr(**old)
+
+
 def token_hashes(tokens: list[str]) -> np.ndarray:
     """Content hashes of a token list (for SimHash features)."""
     if not tokens:
@@ -95,27 +116,47 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
         np.seterr(**old)
 
 
-def minhash_signatures(
-    texts, k: int, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
+def bag_hashes(tokens: list[str]) -> np.ndarray:
+    """Multiset-expansion hashes of a token list: element i-th
+    occurrence of token t hashes as mix(h(t) ^ mix(i)).
+
+    Two docs with the same token MULTISET — e.g. word-order permuted
+    near-dups (the reference's out-of-order semantics,
+    uFuzzy.mjs:812-858) — get identical hash sets (bag Jaccard 1.0),
+    while docs merely sharing vocabulary keep sum(min(counts)) /
+    sum(max(counts)) — the frequency-aware similarity plain set
+    signatures lose on small-vocabulary corpora.
+    """
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    th = token_hashes(tokens)
+    order = np.argsort(th, kind="stable")
+    sorted_h = th[order]
+    # occurrence index within equal-hash runs (vectorized cumcount)
+    starts = np.flatnonzero(np.r_[True, sorted_h[1:] != sorted_h[:-1]])
+    occ = np.arange(sorted_h.size) - np.repeat(starts, np.diff(np.r_[starts, sorted_h.size]))
+    return np.unique(splitmix64(sorted_h ^ splitmix64(occ.astype(np.uint64))))
+
+
+def minhash_from_hash_sets(
+    hash_sets, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
 ) -> np.ndarray:
-    """MinHash signatures for an iterable of strings.
+    """MinHash signatures from per-doc uint64 hash-set arrays.
 
-    Returns int64 array of shape (len(texts), num_perm) — int64 view
-    of the uint64 mins, Spark ArrayType(LongType)-compatible.
+    Returns int64 array of shape (len(hash_sets), num_perm).
 
-    Batched segment-min: all docs' shingle hashes are concatenated and
-    the (shingles x num_perm) mix matrix is processed in bounded-size
-    chunks with ``np.minimum.reduceat`` — no per-doc Python in the
-    inner loop, memory bounded by chunk_shingles*num_perm*8.
+    Batched segment-min: all docs' hashes are concatenated and the
+    (hashes x num_perm) mix matrix is processed in bounded-size chunks
+    with ``np.minimum.reduceat`` — no per-doc Python in the inner
+    loop, memory bounded by chunk_shingles*num_perm*8.
     """
     seeds = perm_seeds(num_perm, seed)
-    n = len(texts)
+    n = len(hash_sets)
     sigs = np.full((n, num_perm), U64_MAX, dtype=np.uint64)
 
     all_h: list[np.ndarray] = []
     doc_ids: list[np.ndarray] = []
-    for i, t in enumerate(texts):
-        h = kgram_hashes(t if isinstance(t, str) else "", k)
+    for i, h in enumerate(hash_sets):
         if h.size:
             all_h.append(h)
             doc_ids.append(np.full(h.size, i, dtype=np.int64))
@@ -148,6 +189,30 @@ def minhash_signatures(
         np.seterr(**old)
 
     return sigs.view(np.int64)
+
+
+def minhash_signatures(
+    texts, k: int, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
+) -> np.ndarray:
+    """Char-k-gram MinHash signatures for an iterable of strings."""
+    return minhash_from_hash_sets(
+        [kgram_hashes(t if isinstance(t, str) else "", k) for t in texts],
+        num_perm,
+        seed,
+        chunk_shingles,
+    )
+
+
+def bag_minhash_signatures(
+    token_lists, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
+) -> np.ndarray:
+    """Token-bag MinHash signatures (order-invariant, frequency-aware)."""
+    return minhash_from_hash_sets(
+        [bag_hashes(list(t) if t is not None else []) for t in token_lists],
+        num_perm,
+        seed,
+        chunk_shingles,
+    )
 
 
 def simhash_fingerprints(token_lists, bits: int = 64) -> np.ndarray:

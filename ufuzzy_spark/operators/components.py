@@ -29,11 +29,14 @@ def connected_components(
     ``all_nodes`` (one ``url`` column) optionally adds isolated docs,
     which come back as singleton clusters (cluster_id = own url).
     """
-    # undirected adjacency, both directions
-    sym = edges.select(
-        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+    # undirected adjacency, both directions — materialized once so the
+    # iteration never recomputes the (expensive) upstream edge plan
+    sym = (
+        edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
 
     labels = (

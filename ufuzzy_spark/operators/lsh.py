@@ -30,15 +30,28 @@ from pyspark.sql import functions as F
 from ufuzzy_spark.config import PipelineConfig
 
 
-def band_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:
-    """sigs(url, minhash) -> (url, band_id, band_hash). Narrow."""
+def band_buckets(
+    sigs: DataFrame,
+    pcfg: PipelineConfig | None = None,
+    sig_col: str = "minhash",
+    bands: int | None = None,
+    rows: int | None = None,
+    band_id_offset: int = 0,
+) -> DataFrame:
+    """sigs(url, <sig_col>) -> (url, band_id, band_hash). Narrow.
+
+    ``band_id_offset`` keeps multiple signature families (char-shingle,
+    token-bag, simhash chunks) in disjoint bucket-id spaces so their
+    postings can union into one candidate join.
+    """
     pcfg = pcfg or PipelineConfig()
-    rows = pcfg.rows_per_band
+    bands = bands if bands is not None else pcfg.bands
+    rows = rows if rows is not None else pcfg.rows_per_band
     bands_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(pcfg.bands - 1)),
+        F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
-            b.cast("int").alias("band_id"),
-            F.xxhash64(b, F.slice(F.col("minhash"), b * rows + 1, rows)).alias(
+            (b + band_id_offset).cast("int").alias("band_id"),
+            F.xxhash64(b, F.slice(F.col(sig_col), b * rows + 1, rows)).alias(
                 "band_hash"
             ),
         ),
@@ -47,6 +60,16 @@ def band_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFra
         sigs.select("url", F.explode(bands_expr).alias("band"))
         .select("url", "band.band_id", "band.band_hash")
     )
+
+
+def all_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:
+    """Union of char-shingle and token-bag band postings."""
+    pcfg = pcfg or PipelineConfig()
+    char_b = band_buckets(sigs, pcfg, "minhash", pcfg.bands, pcfg.rows_per_band, 0)
+    bag_b = band_buckets(
+        sigs, pcfg, "bag_minhash", pcfg.bag_bands, pcfg.bag_rows, 2000
+    )
+    return char_b.unionByName(bag_b)
 
 
 def candidate_pairs(

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ufuzzy_spark.config import PipelineConfig
-from ufuzzy_spark.functions.hashing import minhash_signatures, simhash_fingerprints
+from ufuzzy_spark.functions.hashing import (
+    bag_minhash_signatures,
+    minhash_signatures,
+    simhash_fingerprints,
+)
 
 
 def make_minhash_udf(pcfg: PipelineConfig):
@@ -26,6 +30,17 @@ def make_minhash_udf(pcfg: PipelineConfig):
         return pd.Series(list(sigs))
 
     return minhash_udf
+
+
+def make_bag_minhash_udf(pcfg: PipelineConfig):
+    num_perm = pcfg.bag_num_perm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bag_minhash_udf(tokens: pd.Series) -> pd.Series:
+        sigs = bag_minhash_signatures(tokens.tolist(), num_perm)
+        return pd.Series(list(sigs))
+
+    return bag_minhash_udf
 
 
 def make_simhash_udf(pcfg: PipelineConfig):
@@ -40,16 +55,23 @@ def make_simhash_udf(pcfg: PipelineConfig):
 
 
 def signatures(normed: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:
-    """normed(url, norm_sorted, tokens, ...) -> + minhash, simhash.
+    """normed(url, norm_text, tokens, ...) -> + minhash, bag_minhash,
+    simhash. Narrow stage.
 
-    Narrow stage. Signatures are computed over the order-invariant
-    ``norm_sorted`` form (see operators/normalize.py) so out-of-order
-    near-dups (reference OOO semantics, uFuzzy.mjs:812-858) keep high
-    estimated Jaccard.
+    Two MinHash families (SURVEY.md §7 recall risks):
+    - ``minhash``: char shingles of ORIGINAL-order text — catches
+      in-order bounded-edit classes (ins/sub/trn/del/case/diacritic/
+      boundary) without degenerating on small-vocabulary corpora.
+    - ``bag_minhash``: token-multiset expansion — order-invariant and
+      frequency-aware; catches out-of-order dups (the reference's OOO
+      semantics, uFuzzy.mjs:812-858) with bag-Jaccard 1.0.
     """
     pcfg = pcfg or PipelineConfig()
     mh = make_minhash_udf(pcfg)
+    bmh = make_bag_minhash_udf(pcfg)
     sh = make_simhash_udf(pcfg)
-    return normed.withColumn("minhash", mh(F.col("norm_sorted"))).withColumn(
-        "simhash", sh(F.col("tokens"))
+    return (
+        normed.withColumn("minhash", mh(F.col("norm_text")))
+        .withColumn("bag_minhash", bmh(F.col("tokens")))
+        .withColumn("simhash", sh(F.col("tokens")))
     )

@@ -7,10 +7,10 @@ columns (no UDF in this stage):
   BASELINE.json input_hint)
 - ``norm_text``  = lower(latinize(text))             (uFuzzy.mjs:70,927-983)
 - ``tokens``     = interSplit tokenization            (uFuzzy.mjs:29,228-246)
-- ``norm_sorted``= space-joined sorted tokens — the order-invariant
-  canonical form that replaces the reference's permutation fan-out
-  (uFuzzy.mjs:835-858): signatures over it make OOO duplicates
-  byte-similar, so MinHash recall does not depend on term order.
+
+Order-invariance for OOO duplicates is NOT handled here by sorting
+text (sorted text degenerates on small vocabularies) but by the
+token-bag MinHash in operators/minhash.py.
 """
 
 from __future__ import annotations
@@ -63,11 +63,7 @@ def normalize(pages: DataFrame, cfg: MatchConfig | None = None) -> DataFrame:
     cfg = cfg or MatchConfig()
     norm = norm_text_col(F.col("text"))
     toks = tokens_col(norm, cfg)
-    return (
-        pages.withColumn("norm_text", norm)
-        .withColumn("tokens", toks)
-        .withColumn("norm_sorted", F.array_join(F.array_sort(F.col("tokens")), " "))
-    )
+    return pages.withColumn("norm_text", norm).withColumn("tokens", toks)
 
 
 def extraction_invariant_violations(pages: DataFrame) -> DataFrame:

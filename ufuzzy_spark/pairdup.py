@@ -69,25 +69,38 @@ class PairVerifier:
         # term regexes are shared across pairs — LRU keeps the hot
         # vocabulary compiled (the prefixCache idea, demos/compare.html:562)
         self._term_re = lru_cache(maxsize=65536)(self._compile_term)
+        # docs appear in many candidate pairs; cache their window terms
+        self.window_terms = lru_cache(maxsize=16384)(self._window_terms)
+        # fast path: with intraMode 0 / intraIns 0 (default config) a
+        # split() term's compiled regex is a LITERAL (chars joined by
+        # an empty insert template, uFuzzy.mjs:342-359), so Python's C
+        # substring search is exact; fuzzier configs use it as the
+        # cheap subcase check (an exact occurrence always satisfies
+        # the bounded-edit predicate) before falling back to regex.
+        cfg = self.pcfg.match.resolved()
+        self._fuzzy_fallback = cfg.intraMode == 1 or (cfg.intraIns or 0) > 0
 
     def _compile_term(self, term: str):
         q = self.oracle.prep_query(term)
         return q[0] if q else None
 
-    def window_terms(self, norm_text: str) -> list[str]:
+    def _window_terms(self, norm_text: str) -> tuple[str, ...]:
         """Dedup'd window terms, longest-first (the reference's
         most-selective-first AND reduction order, uFuzzy.mjs:820)."""
         terms = self.oracle.split(norm_text[: self.window])
         # short terms (<2 chars) carry no signal and explode fan-out
         uniq = {t for t in terms if len(t) >= 2}
-        return sorted(uniq, key=len, reverse=True)
+        return tuple(sorted(uniq, key=len, reverse=True))
 
-    def _matched_fraction(self, terms: list[str], other: str) -> tuple[int, int]:
+    def _matched_fraction(self, terms, other: str) -> tuple[int, int]:
         matched = 0
         for t in terms:
-            rx = self._term_re(t)
-            if rx is not None and rx.search(other):
+            if t in other:  # literal containment (see __init__)
                 matched += 1
+            elif self._fuzzy_fallback:
+                rx = self._term_re(t)
+                if rx is not None and rx.search(other):
+                    matched += 1
         return matched, len(terms)
 
     def verify(self, norm_a: str, norm_b: str) -> PairFeatures:

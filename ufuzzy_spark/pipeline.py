@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ufuzzy_spark.config import PipelineConfig
 from ufuzzy_spark.operators.components import connected_components, elect_canonical
 from ufuzzy_spark.operators.dedup import exact_dedup
-from ufuzzy_spark.operators.lsh import band_buckets, candidate_pairs
+from ufuzzy_spark.operators.lsh import all_buckets, candidate_pairs
 from ufuzzy_spark.operators.minhash import signatures
 from ufuzzy_spark.operators.normalize import normalize
 from ufuzzy_spark.operators.verify import verify_pairs
@@ -47,64 +47,54 @@ def run_pipeline(
     pcfg: PipelineConfig | None = None,
     include_langs: tuple[str, ...] = ("en",),
     checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> PipelineResult:
-    pcfg = pcfg or PipelineConfig()
-    metrics: dict = {"config_hash": pcfg.config_hash(), "stages": {}}
+    from ufuzzy_spark.lineage import StageRunner
 
-    def timed(name, df_fn):
-        t0 = time.time()
-        out = df_fn()
-        metrics["stages"][name] = round(time.time() - t0, 3)
-        return out
+    pcfg = pcfg or PipelineConfig()
+    runner = StageRunner(spark, checkpoint_dir, pcfg.config_hash(), resume)
+    metrics: dict = {"config_hash": pcfg.config_hash(), "stages": runner.metrics}
 
     # 1. normalize (narrow) — only dedup-eligible languages proceed
     in_scope = pages.where(F.col("lang").isin(*include_langs))
     normed = normalize(in_scope, pcfg.match)
 
     # 2. exact-hash pre-dedup: strips identical-content mass before LSH
-    exact_edges, reps = exact_dedup(normed)
-    if checkpoint_dir:
-        reps = _checkpoint(reps, checkpoint_dir, "reps")
-        exact_edges = _checkpoint(exact_edges, checkpoint_dir, "exact_edges")
+    exact_edges_l, reps_l = exact_dedup(normed)
+    reps = runner.materialize("reps", lambda: reps_l)
+    exact_edges = runner.materialize("exact_edges", lambda: exact_edges_l)
 
     # 3. signatures over representatives only (narrow, Arrow UDFs)
-    sigs = signatures(reps, pcfg)
-    if checkpoint_dir:
-        sigs = _checkpoint(
-            sigs.select("url", "minhash", "simhash"), checkpoint_dir, "signatures"
-        )
-    else:
-        sigs = sigs.select("url", "minhash", "simhash")
+    sigs = runner.materialize(
+        "signatures",
+        lambda: signatures(reps, pcfg).select(
+            "url", "minhash", "bag_minhash", "simhash"
+        ),
+    )
 
     # 4. LSH candidates (one shuffle + distinct)
-    cands = candidate_pairs(band_buckets(sigs, pcfg), pcfg)
-    if checkpoint_dir:
-        cands = _checkpoint(cands, checkpoint_dir, "candidate_pairs")
+    cands = runner.materialize(
+        "candidate_pairs", lambda: candidate_pairs(all_buckets(sigs, pcfg), pcfg)
+    )
 
     # 5. bounded-edit verification (precision pass)
-    verified = verify_pairs(cands, normed, pcfg)
+    verified = runner.materialize(
+        "verified_pairs", lambda: verify_pairs(cands, normed, pcfg)
+    )
+    if checkpoint_dir is None:
+        verified = verified.persist()
     dup_edges = verified.where("is_dup").select("url_a", "url_b")
-    if checkpoint_dir:
-        verified = _checkpoint(verified, checkpoint_dir, "verified_pairs")
-        dup_edges = verified.where("is_dup").select("url_a", "url_b")
 
     # 6. connected components over exact + verified edges
     all_edges = exact_edges.unionByName(dup_edges)
-    clusters = connected_components(
-        all_edges, all_nodes=normed.select("url")
-    )
+    cc_labels = connected_components(all_edges, all_nodes=normed.select("url"))
 
     # 7. canonical election
-    clusters = elect_canonical(clusters, normed)
+    clusters = runner.materialize(
+        "clusters", lambda: elect_canonical(cc_labels, normed)
+    )
 
     return PipelineResult(clusters, verified, cands, metrics)
-
-
-def _checkpoint(df: DataFrame, base: str, name: str) -> DataFrame:
-    """Parquet-materialize a stage (resumable; Iceberg-shaped layout)."""
-    path = f"{base}/{name}"
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
 
 
 def main() -> None:
