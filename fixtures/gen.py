@@ -383,7 +383,9 @@ def write_fixtures(outdir: str | Path, n_rows: int, seed: int = 42, **kw):
             ]
         ),
     )
-    pq.write_table(pages_tbl, outdir / "pages.parquet")
+    # multiple row groups -> splittable scans (parquet parallelism is
+    # row-group granular; a single giant row group serializes Spark)
+    pq.write_table(pages_tbl, outdir / "pages.parquet", row_group_size=4096)
     pq.write_table(pa.Table.from_pylist(pairs), outdir / "dup_pairs_oracle.parquet")
     return outdir
 

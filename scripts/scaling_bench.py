@@ -1,0 +1,129 @@
+"""Two-parallelism scaling benchmark — the north-rule evidence run.
+
+Runs the SAME dedup job on the SAME input at local[N] and local[4N]
+(sandbox stand-in for N vs 4N executors, per driver instruction) and
+reports docs/sec at both plus scaling efficiency:
+
+    eff = (throughput_4N / throughput_N) / 4          (target >= 0.8)
+
+Each measurement gets its own SparkSession (stopped between runs) and
+a small warmup run so Python UDF workers and JIT are warm — we are
+measuring the job, not process spin-up. Results are appended to
+BENCH/BASELINE.md.
+
+Usage:
+    python scripts/scaling_bench.py [--input DIR] [--rows 100000]
+                                    [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def measure(master_cores: int, input_path: str, warmup_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.session import get_spark
+
+    spark = get_spark(
+        f"ufuzzy-scaling-{master_cores}",
+        master=f"local[{master_cores}]",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    try:
+        # warmup: spin up Python UDF workers + JIT on a small slice
+        warm = spark.read.parquet(warmup_path)
+        run_pipeline(spark, warm).clusters.count()
+
+        pages = spark.read.parquet(input_path)
+        n_docs = pages.count()
+        t0 = time.time()
+        res = run_pipeline(spark, pages)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        wall = time.time() - t0
+        return {
+            "cores": master_cores,
+            "docs": n_docs,
+            "clusters": n_clusters,
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--out-md", default="BENCH/BASELINE.md")
+    args = ap.parse_args()
+
+    from fixtures.gen import write_fixtures
+
+    if args.input:
+        input_path = args.input
+    else:
+        bench_dir = Path(f"/tmp/ufz_bench_{args.rows}")
+        if not (bench_dir / "pages.parquet").exists():
+            write_fixtures(bench_dir, args.rows, label_pairs=False)
+        input_path = str(bench_dir / "pages.parquet")
+
+    warm_dir = Path("/tmp/ufz_bench_warmup")
+    if not (warm_dir / "pages.parquet").exists():
+        write_fixtures(warm_dir, 2000, label_pairs=False)
+    warmup_path = str(warm_dir / "pages.parquet")
+
+    low = measure(args.low, input_path, warmup_path)
+    high = measure(args.high, input_path, warmup_path)
+
+    ratio = high["docs_per_sec"] / low["docs_per_sec"]
+    eff = ratio / (args.high / args.low)
+    result = {
+        "low": low,
+        "high": high,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    print(json.dumps(result))
+
+    out = Path(args.out_md)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    lines = [
+        "",
+        f"## Scaling run {result['ts']}",
+        "",
+        f"Input: {input_path} ({low['docs']} docs); same job "
+        f"(`run_pipeline`), fresh SparkSession per level, warmed "
+        f"Python workers. local[{args.low}] vs local[{args.high}] "
+        f"stand in for N vs 4N executors (no real cluster in sandbox).",
+        "",
+        "| parallelism | wall (s) | docs/sec | clusters |",
+        "|---|---|---|---|",
+        f"| local[{args.low}] | {low['wall_sec']} | {low['docs_per_sec']} | {low['clusters']} |",
+        f"| local[{args.high}] | {high['wall_sec']} | {high['docs_per_sec']} | {high['clusters']} |",
+        "",
+        f"**Speedup {args.low}->{args.high} cores: {result['speedup']}x; "
+        f"scaling efficiency: {result['scaling_efficiency']} "
+        f"(target >= 0.8).**",
+    ]
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
+if __name__ == "__main__":
+    main()

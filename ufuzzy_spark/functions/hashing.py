@@ -97,28 +97,64 @@ def kgram_hashes_positional(text: str, k: int) -> np.ndarray:
         np.seterr(**old)
 
 
+_TOKEN_PAD = 24  # fixed hash width: tokens truncate to 24 bytes (+len mix)
+_TOKEN_POWS = None
+
+
+def _token_pows() -> np.ndarray:
+    global _TOKEN_POWS
+    if _TOKEN_POWS is None:
+        old = np.seterr(over="ignore")
+        try:
+            p = np.empty(_TOKEN_PAD, dtype=np.uint64)
+            p[-1] = 1
+            for i in range(_TOKEN_PAD - 2, -1, -1):
+                p[i] = p[i + 1] * np.uint64(257)
+            _TOKEN_POWS = p
+        finally:
+            np.seterr(**old)
+    return _TOKEN_POWS
+
+
 def token_hashes(tokens: list[str]) -> np.ndarray:
-    """Content hashes of a token list (for SimHash features)."""
+    """Content hashes of a token list (SimHash features / bag elements).
+
+    Fully vectorized: tokens are right-padded into a fixed-width byte
+    matrix (truncated at 24 bytes, byte-length mixed in so prefixes
+    don't collide) and hashed with one matrix multiply-sum — no
+    per-byte Python. Width is GLOBAL so the same token hashes
+    identically across docs/batches (bag-Jaccard depends on it).
+    """
     if not tokens:
         return np.zeros(0, dtype=np.uint64)
-    out = np.empty(len(tokens), dtype=np.uint64)
     old = np.seterr(over="ignore")
     try:
-        for i, t in enumerate(tokens):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            acc = np.uint64(0)
-            # Horner fold — tokens are short, loop cost negligible
-            for v in b:
-                acc = acc * np.uint64(257) + v
-            out[i] = acc
-        return splitmix64(out)
+        n = len(tokens)
+        # one NUL-joined buffer + one fancy scatter — tokens come from
+        # a split on a separator class that always includes NUL, so
+        # NUL is a safe delimiter
+        b = np.frombuffer(("\x00".join(tokens)).encode("utf-8"), dtype=np.uint8)
+        seps = np.flatnonzero(b == 0)
+        starts = np.r_[0, seps + 1]
+        ends = np.r_[seps, b.size]
+        lens = np.minimum(ends - starts, _TOKEN_PAD)
+
+        csum = np.r_[0, np.cumsum(lens)[:-1]]
+        cols = np.arange(int(lens.sum())) - np.repeat(csum, lens)
+        rows = np.repeat(np.arange(n), lens)
+        src = np.repeat(starts, lens) + cols
+
+        mat = np.zeros((n, _TOKEN_PAD), dtype=np.uint64)
+        mat[rows, cols] = b[src]
+        h = (mat * _token_pows()).sum(axis=1, dtype=np.uint64)
+        return splitmix64(h ^ splitmix64(lens.astype(np.uint64)))
     finally:
         np.seterr(**old)
 
 
-def bag_hashes(tokens: list[str]) -> np.ndarray:
-    """Multiset-expansion hashes of a token list: element i-th
-    occurrence of token t hashes as mix(h(t) ^ mix(i)).
+def bag_hashes_from_token_hashes(th: np.ndarray) -> np.ndarray:
+    """Multiset-expansion hashes from precomputed token hashes: the
+    i-th occurrence of token t hashes as mix(h(t) ^ mix(i)).
 
     Two docs with the same token MULTISET — e.g. word-order permuted
     near-dups (the reference's out-of-order semantics,
@@ -127,31 +163,47 @@ def bag_hashes(tokens: list[str]) -> np.ndarray:
     sum(max(counts)) — the frequency-aware similarity plain set
     signatures lose on small-vocabulary corpora.
     """
-    if not tokens:
-        return np.zeros(0, dtype=np.uint64)
-    th = token_hashes(tokens)
-    order = np.argsort(th, kind="stable")
-    sorted_h = th[order]
+    if th.size == 0:
+        return th
+    sorted_h = np.sort(th)
     # occurrence index within equal-hash runs (vectorized cumcount)
     starts = np.flatnonzero(np.r_[True, sorted_h[1:] != sorted_h[:-1]])
-    occ = np.arange(sorted_h.size) - np.repeat(starts, np.diff(np.r_[starts, sorted_h.size]))
+    occ = np.arange(sorted_h.size) - np.repeat(
+        starts, np.diff(np.r_[starts, sorted_h.size])
+    )
     return np.unique(splitmix64(sorted_h ^ splitmix64(occ.astype(np.uint64))))
 
 
+def bag_hashes(tokens: list[str]) -> np.ndarray:
+    return bag_hashes_from_token_hashes(token_hashes(tokens))
+
+
 def minhash_from_hash_sets(
-    hash_sets, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
+    hash_sets, num_perm: int, seed: int = 42
 ) -> np.ndarray:
-    """MinHash signatures from per-doc uint64 hash-set arrays.
+    """One-permutation MinHash with densification.
 
     Returns int64 array of shape (len(hash_sets), num_perm).
 
-    Batched segment-min: all docs' hashes are concatenated and the
-    (hashes x num_perm) mix matrix is processed in bounded-size chunks
-    with ``np.minimum.reduceat`` — no per-doc Python in the inner
-    loop, memory bounded by chunk_shingles*num_perm*8.
+    Instead of k independent permutations (O(shingles x k) mixing —
+    the classic kernel is ~100x more work), each shingle hash is
+    assigned to one of ``num_perm`` bins by its top bits and the bin
+    keeps the min (Li, Owen, Zhang: "One Permutation Hashing",
+    NIPS'12). Empty bins are filled by circular rotation from the
+    nearest filled bin in O(log k) vectorized passes, with the bin
+    index mixed in to decorrelate (densification per Shrivastava,
+    ICML'17). Equal docs keep equal signatures; the estimator matches
+    k-perm MinHash concentration when shingles >~ num_perm.
+
+    ``seed`` re-keys the single permutation (hashes are pre-mixed, so
+    only used to decorrelate families, e.g. char vs bag).
     """
-    seeds = perm_seeds(num_perm, seed)
     n = len(hash_sets)
+    bin_bits = int(num_perm - 1).bit_length()
+    assert num_perm == 1 << bin_bits, "num_perm must be a power of two"
+    shift = np.uint64(64 - bin_bits)
+    seed_u = np.uint64(seed)
+
     sigs = np.full((n, num_perm), U64_MAX, dtype=np.uint64)
 
     all_h: list[np.ndarray] = []
@@ -163,28 +215,38 @@ def minhash_from_hash_sets(
     if not all_h:
         return sigs.view(np.int64)
 
-    H = np.concatenate(all_h)
-    D = np.concatenate(doc_ids)
-
     old = np.seterr(over="ignore")
     try:
-        buf = np.empty((min(chunk_shingles, H.size), num_perm), dtype=np.uint64)
-        for lo in range(0, H.size, chunk_shingles):
-            hi = min(lo + chunk_shingles, H.size)
-            h_chunk = H[lo:hi]
-            d_chunk = D[lo:hi]
-            # (chunk, num_perm) mix then per-doc segment min
-            out = buf[: hi - lo]
-            np.bitwise_xor(h_chunk[:, None], seeds[None, :], out=out)
-            mixed = splitmix64(out, out=out)
-            # segment boundaries within the chunk (doc ids are sorted)
-            starts = np.flatnonzero(np.r_[True, d_chunk[1:] != d_chunk[:-1]])
-            mins = np.minimum.reduceat(mixed, starts, axis=0)
-            docs = d_chunk[starts]
-            # docs are unique within a chunk (one segment per doc), so
-            # fancy-index assignment is safe; cross-chunk spill of one
-            # doc is handled by the running minimum across iterations
-            sigs[docs] = np.minimum(sigs[docs], mins)
+        H = splitmix64(np.concatenate(all_h) ^ seed_u)
+        D = np.concatenate(doc_ids)
+
+        bins = (H >> shift).astype(np.int64)
+        flat = D * num_perm + bins
+        order = np.argsort(flat, kind="stable")
+        flat_s, h_s = flat[order], H[order]
+        starts = np.flatnonzero(np.r_[True, flat_s[1:] != flat_s[:-1]])
+        mins = np.minimum.reduceat(h_s, starts)
+        sigs.reshape(-1)[flat_s[starts]] = mins
+
+        # densification: propagate nearest filled bin circularly in
+        # log2(num_perm) vectorized passes, mixing in the bin index so
+        # distinct bins stay decorrelated (equality is preserved:
+        # equal sources + equal bins -> equal fills)
+        empty = sigs == U64_MAX
+        if empty.any():
+            bin_mix = splitmix64(np.arange(num_perm, dtype=np.uint64))
+            step = 1
+            while step < num_perm and empty.any():
+                donor = np.roll(sigs, step, axis=1)
+                donor_ok = donor != U64_MAX
+                take = empty & donor_ok
+                if take.any():
+                    rows, cols = np.nonzero(take)
+                    sigs[rows, cols] = splitmix64(
+                        donor[rows, cols] ^ bin_mix[cols]
+                    )
+                empty = sigs == U64_MAX
+                step <<= 1
     finally:
         np.seterr(**old)
 
@@ -192,49 +254,99 @@ def minhash_from_hash_sets(
 
 
 def minhash_signatures(
-    texts, k: int, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
+    texts, k: int, num_perm: int, seed: int = 42
 ) -> np.ndarray:
     """Char-k-gram MinHash signatures for an iterable of strings."""
     return minhash_from_hash_sets(
         [kgram_hashes(t if isinstance(t, str) else "", k) for t in texts],
         num_perm,
         seed,
-        chunk_shingles,
     )
 
 
 def bag_minhash_signatures(
-    token_lists, num_perm: int, seed: int = 42, chunk_shingles: int = 1 << 14
+    token_lists, num_perm: int, seed: int = 42
 ) -> np.ndarray:
     """Token-bag MinHash signatures (order-invariant, frequency-aware)."""
     return minhash_from_hash_sets(
         [bag_hashes(list(t) if t is not None else []) for t in token_lists],
         num_perm,
         seed,
-        chunk_shingles,
     )
 
 
-def simhash_fingerprints(token_lists, bits: int = 64) -> np.ndarray:
-    """64-bit SimHash over token content hashes (Charikar 2002).
-
-    Returns int64 array of shape (len(token_lists),).
-    """
-    assert bits == 64, "only 64-bit simhash supported"
-    n = len(token_lists)
+def simhash_from_hash_lists(hash_lists) -> np.ndarray:
+    """64-bit SimHash per doc from precomputed token-hash arrays
+    (Charikar, STOC'02). Batched: one (total_tokens x 64) bit matrix +
+    per-doc ``np.add.reduceat`` — no per-doc Python loops."""
+    n = len(hash_lists)
     out = np.zeros(n, dtype=np.int64)
+    nonempty = [(i, h) for i, h in enumerate(hash_lists) if h.size]
+    if not nonempty:
+        return out
+    H = np.ascontiguousarray(np.concatenate([h for _, h in nonempty]))
+    counts = np.array([h.size for _, h in nonempty])
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
     shifts = np.arange(64, dtype=np.uint64)
-    for i, toks in enumerate(token_lists):
-        h = token_hashes(list(toks) if toks is not None else [])
-        if h.size == 0:
-            continue
-        bits_mat = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-        counts = bits_mat.sum(axis=0, dtype=np.int64)
-        fp = np.uint64(0)
-        majority = counts * 2 >= h.size
-        fp = (majority.astype(np.uint64) << shifts).sum(dtype=np.uint64)
-        out[i] = np.int64(fp.astype(np.uint64).view(np.int64))
+
+    # bit matrix via unpackbits on the little-endian byte view: uint8,
+    # 8x smaller than shift-based int64 temporaries
+    bits_mat = np.unpackbits(
+        H.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    sums = np.add.reduceat(bits_mat.astype(np.int32), starts, axis=0)
+    majority = (sums * 2 >= counts[:, None]).astype(np.uint64)
+    fps = (majority << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[[i for i, _ in nonempty]] = fps.view(np.int64)
     return out
+
+
+def simhash_fingerprints(token_lists, bits: int = 64) -> np.ndarray:
+    """64-bit SimHash over token content hashes."""
+    assert bits == 64, "only 64-bit simhash supported"
+    return simhash_from_hash_lists(
+        [token_hashes(list(t) if t is not None else []) for t in token_lists]
+    )
+
+
+_SPLIT_RE = None
+
+
+def all_signatures(
+    texts,
+    k: int,
+    num_perm: int,
+    bag_num_perm: int,
+    seed: int = 42,
+    token_pattern: str = r"[^a-z\d']+",
+):
+    """One-pass signature kernel: (minhash, bag_minhash, simhash) for a
+    batch of normalized strings. Tokenizes ONCE per doc and reuses the
+    token hashes for both the bag MinHash and SimHash — this is the
+    whole signature stage's compute, one Arrow crossing.
+    """
+    import re
+
+    global _SPLIT_RE
+    if _SPLIT_RE is None or _SPLIT_RE.pattern != token_pattern:
+        _SPLIT_RE = re.compile(token_pattern)
+
+    kgram_sets = []
+    token_hash_lists = []
+    for t in texts:
+        s = t if isinstance(t, str) else ""
+        kgram_sets.append(kgram_hashes(s, k))
+        toks = [x for x in _SPLIT_RE.split(s) if x]
+        token_hash_lists.append(token_hashes(toks))
+
+    minhash = minhash_from_hash_sets(kgram_sets, num_perm, seed)
+    bag_minhash = minhash_from_hash_sets(
+        [bag_hashes_from_token_hashes(th) for th in token_hash_lists],
+        bag_num_perm,
+        seed,
+    )
+    simhash = simhash_from_hash_lists(token_hash_lists)
+    return minhash, bag_minhash, simhash
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

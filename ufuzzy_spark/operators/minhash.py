@@ -11,10 +11,11 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ufuzzy_spark.config import PipelineConfig
 from ufuzzy_spark.functions.hashing import (
+    all_signatures,
     bag_minhash_signatures,
     minhash_signatures,
     simhash_fingerprints,
@@ -54,9 +55,40 @@ def make_simhash_udf(pcfg: PipelineConfig):
     return simhash_udf
 
 
+SIG_SCHEMA = StructType(
+    [
+        StructField("minhash", ArrayType(LongType())),
+        StructField("bag_minhash", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+def make_signatures_udf(pcfg: PipelineConfig):
+    """ONE pandas UDF for all three signatures: a single Arrow
+    crossing, one tokenization per doc, token hashes shared between
+    bag-MinHash and SimHash (functions/hashing.all_signatures)."""
+    k, num_perm, bag_perm = pcfg.shingle_k, pcfg.num_perm, pcfg.bag_num_perm
+
+    @F.pandas_udf(SIG_SCHEMA)
+    def signatures_udf(texts: pd.Series) -> pd.DataFrame:
+        mh, bmh, sh = all_signatures(
+            texts.fillna("").tolist(), k, num_perm, bag_perm
+        )
+        return pd.DataFrame(
+            {
+                "minhash": list(mh),
+                "bag_minhash": list(bmh),
+                "simhash": sh,
+            }
+        )
+
+    return signatures_udf
+
+
 def signatures(normed: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:
-    """normed(url, norm_text, tokens, ...) -> + minhash, bag_minhash,
-    simhash. Narrow stage.
+    """normed(url, norm_text, ...) -> + minhash, bag_minhash, simhash.
+    Narrow stage; one Arrow-batched UDF.
 
     Two MinHash families (SURVEY.md §7 recall risks):
     - ``minhash``: char shingles of ORIGINAL-order text — catches
@@ -65,13 +97,13 @@ def signatures(normed: DataFrame, pcfg: PipelineConfig | None = None) -> DataFra
     - ``bag_minhash``: token-multiset expansion — order-invariant and
       frequency-aware; catches out-of-order dups (the reference's OOO
       semantics, uFuzzy.mjs:812-858) with bag-Jaccard 1.0.
+    Plus ``simhash`` (64-bit) for the Hamming-ball branch.
     """
     pcfg = pcfg or PipelineConfig()
-    mh = make_minhash_udf(pcfg)
-    bmh = make_bag_minhash_udf(pcfg)
-    sh = make_simhash_udf(pcfg)
-    return (
-        normed.withColumn("minhash", mh(F.col("norm_text")))
-        .withColumn("bag_minhash", bmh(F.col("tokens")))
-        .withColumn("simhash", sh(F.col("tokens")))
+    su = make_signatures_udf(pcfg)
+    # minimal projection: ONLY (url, norm_text) crosses the Arrow
+    # exchange — dragging html/text/tokens through the Python worker
+    # costs ~1.5x the whole stage
+    return normed.select("url", su(F.col("norm_text")).alias("sig")).select(
+        "url", "sig.minhash", "sig.bag_minhash", "sig.simhash"
     )

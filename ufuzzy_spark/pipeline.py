@@ -55,9 +55,27 @@ def run_pipeline(
     runner = StageRunner(spark, checkpoint_dir, pcfg.config_hash(), resume)
     metrics: dict = {"config_hash": pcfg.config_hash(), "stages": runner.metrics}
 
-    # 1. normalize (narrow) — only dedup-eligible languages proceed
-    in_scope = pages.where(F.col("lang").isin(*include_langs))
-    normed = normalize(in_scope, pcfg.match)
+    # 1. normalize (narrow) — only dedup-eligible languages proceed.
+    # Repartition by url hash up front: a real 100 TB corpus arrives
+    # as thousands of files, but a single-file sandbox input would
+    # otherwise pin every narrow stage (normalize + signature UDFs) to
+    # the parquet row-group count — one cheap shuffle of the raw pages
+    # buys full-width parallelism for all downstream narrow stages.
+    target_parts = max(
+        spark.sparkContext.defaultParallelism * 2, pcfg.num_partitions
+    )
+    in_scope = (
+        pages.where(F.col("lang").isin(*include_langs))
+        .repartition(target_parts, "url")
+    )
+    # slim projection persisted once: normalize feeds 5 consumers
+    # (exact dedup, signatures, verify texts x2, CC nodes, election) —
+    # without this the narrow normalize plan recomputes per consumer
+    normed = (
+        normalize(in_scope, pcfg.match)
+        .select("url", "warc_ts", "norm_text")
+        .persist()
+    )
 
     # 2. exact-hash pre-dedup: strips identical-content mass before LSH
     exact_edges_l, reps_l = exact_dedup(normed)
@@ -82,10 +100,20 @@ def run_pipeline(
         "verified_pairs", lambda: verify_pairs(cands, normed, pcfg)
     )
     if checkpoint_dir is None:
+        # FORCE the cache before CC: the symmetrized edge union reads
+        # this plan twice in one job, and concurrent union branches
+        # race past an unmaterialized persist — without the count()
+        # the whole signatures->LSH->verify chain computes twice
         verified = verified.persist()
+        verified.count()
     dup_edges = verified.where("is_dup").select("url_a", "url_b")
 
-    # 6. connected components over exact + verified edges
+    # 6. connected components over exact + verified edges — exact star
+    # edges are cheap rows; materialize them too so the union doesn't
+    # recompute the content-hash window per branch
+    if checkpoint_dir is None:
+        exact_edges = exact_edges.persist()
+        exact_edges.count()
     all_edges = exact_edges.unionByName(dup_edges)
     cc_labels = connected_components(all_edges, all_nodes=normed.select("url"))
 

@@ -38,8 +38,11 @@ def get_spark(
         # Arrow batches for every pandas UDF crossing
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        # at 100 TB these become cluster-level: target ~128MB scan splits
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32MB scan splits: a 100 TB corpus arrives as many files, but
+        # sandbox single-file inputs must still split wide enough to
+        # feed every core (row-group granular) — 128MB splits pin a
+        # ~200MB file to 2 read tasks
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
     )

@@ -45,7 +45,9 @@ def incremental_dedup(
     win = 2 * pcfg.verify_window_chars
 
     new_normed = normalize(new_pages.where(F.col("lang") == "en"), pcfg.match)
-    _, new_reps = exact_dedup(new_normed)
+    # exact-dup members don't proceed to LSH — keep their star edges
+    # (cross-batch exact dups still pair via identical band hashes)
+    new_exact_edges, new_reps = exact_dedup(new_normed)
     new_sigs = signatures(new_reps, pcfg).select(
         "url", "minhash", "bag_minhash", "simhash"
     )
@@ -91,9 +93,12 @@ def incremental_dedup(
         texts = new_norm_slim
 
     verified = verify_pairs(cand, texts, pcfg)
-    new_edges = verified.where("is_dup").select("url_a", "url_b")
+    new_edges = (
+        verified.where("is_dup")
+        .select("url_a", "url_b")
+        .unionByName(new_exact_edges)
+    )
 
-    # exact-dup edges among/against new content: content-hash join
     all_edges = new_edges
     if old_edges is not None:
         all_edges = old_edges.unionByName(new_edges).dropDuplicates(
