@@ -216,6 +216,111 @@ def q_rank_comparator(spark, sf_dir):
     ).select("doc_id", "start", "rnk")
 
 
+@register(
+    "typeahead_rank",
+    f"""
+    SELECT doc_id,
+           (strpos({NORM_SQL}, 'stream') - 1)::BIGINT AS start,
+           length(text)::BIGINT AS txt_len,
+           row_number() OVER (
+             ORDER BY strpos({NORM_SQL}, 'stream') ASC, length(text) ASC,
+                      doc_id ASC
+           )::BIGINT AS rnk
+    FROM documents
+    WHERE strpos({NORM_SQL}, 'stream') > 0
+    """,
+)
+def q_typeahead_rank(spark, sf_dir):
+    """Typeahead comparator preset: start offset and match length
+    promoted above term-bound counters (demos/compare.html:295-330,
+    SURVEY §2 #7b)."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    start = (F.instr(n, "stream") - 1).cast("long")
+    matched = d.where(F.instr(n, "stream") > 0).select(
+        "doc_id",
+        start.alias("start"),
+        F.length("text").cast("long").alias("txt_len"),
+    )
+    w = Window.orderBy(F.asc("start"), F.asc("txt_len"), F.asc("doc_id"))
+    return matched.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "highlight_ranges",
+    f"""
+    SELECT doc_id,
+           (strpos({NORM_SQL}, 'window') - 1)::BIGINT AS range_start,
+           (strpos({NORM_SQL}, 'window') - 1 + 6)::BIGINT AS range_end
+    FROM documents
+    WHERE strpos({NORM_SQL}, 'window') > 0
+    """,
+)
+def q_highlight_ranges(spark, sf_dir):
+    """Match-range extraction for highlight rendering
+    (uFuzzy.mjs:681-737,1012-1031): [start, end) of the first
+    occurrence per doc."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    start = (F.instr(n, "window") - 1).cast("long")
+    return d.where(F.instr(n, "window") > 0).select(
+        "doc_id",
+        start.alias("range_start"),
+        (start + F.lit(6)).alias("range_end"),
+    )
+
+
+@register(
+    "intra_rules_ladder",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest({TOKENS_SQL.format(norm=NORM_SQL)}) AS term
+        FROM documents
+    )
+    SELECT term,
+           CASE WHEN NOT regexp_matches(term, '[^0-9]') THEN 0
+                WHEN length(term) <= 2 THEN 0
+                WHEN length(term) = 3 THEN 0
+                ELSE 1 END::BIGINT AS intra_ins,
+           CASE WHEN NOT regexp_matches(term, '[^0-9]') THEN 0
+                WHEN length(term) >= 3 THEN 1 ELSE 0 END::BIGINT AS intra_trn,
+           CASE WHEN NOT regexp_matches(term, '[^0-9]') THEN 0
+                WHEN length(term) >= 5 THEN 1 ELSE 0 END::BIGINT AS intra_sub,
+           CASE WHEN NOT regexp_matches(term, '[^0-9]') THEN 0
+                WHEN length(term) >= 5 THEN 1 ELSE 0 END::BIGINT AS intra_del
+    FROM toks
+    """,
+)
+def q_intra_rules_ladder(spark, sf_dir):
+    """The adaptive per-term error budget as a native expression
+    ladder (uFuzzy.mjs:175-218, intraMode=1 defaults): digits exact;
+    len<=2 exact; len 3 -> 1 trn; len 4 -> 1 trn + 1 ins; len>=5 ->
+    full budgets."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select(F.explode(tokens_expr(norm_col())).alias("term")).distinct()
+    )
+    is_digits = ~F.col("term").rlike("[^0-9]")
+    ln = F.length("term")
+    return toks.select(
+        "term",
+        F.when(is_digits, 0)
+        .when(ln <= 3, 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("intra_ins"),
+        F.when(is_digits, 0).when(ln >= 3, 1).otherwise(0).cast("long").alias(
+            "intra_trn"
+        ),
+        F.when(is_digits, 0).when(ln >= 5, 1).otherwise(0).cast("long").alias(
+            "intra_sub"
+        ),
+        F.when(is_digits, 0).when(ln >= 5, 1).otherwise(0).cast("long").alias(
+            "intra_del"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- #
 # 4. exact dedup (hash groupBy; pipeline stage 2)
 # ---------------------------------------------------------------- #
@@ -403,6 +508,153 @@ def q_ngram_jaccard(spark, sf_dir):
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+_VWIN, _VSCAN = 512, 1024
+
+_VERIFY_SQL = f"""
+    WITH cands AS ({_CANDS_SQL}),
+    docs_n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+    terms AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM docs_n, unnest(list_filter(
+            regexp_split_to_array(substr(norm, 1, {_VWIN}), '[^a-z\\d'']+'),
+            x -> length(x) >= 2)) AS t(term)
+    ),
+    m_a AS (
+        SELECT c.id_a, c.id_b,
+               count(*) AS n_a,
+               sum(CASE WHEN strpos(substr(db.norm, 1, {_VSCAN}), t.term) > 0
+                        THEN 1 ELSE 0 END) AS hit_a
+        FROM cands c
+        JOIN terms t ON t.doc_id = c.id_a
+        JOIN docs_n db ON db.doc_id = c.id_b
+        GROUP BY c.id_a, c.id_b
+    ),
+    m_b AS (
+        SELECT c.id_a, c.id_b,
+               count(*) AS n_b,
+               sum(CASE WHEN strpos(substr(da.norm, 1, {_VSCAN}), t.term) > 0
+                        THEN 1 ELSE 0 END) AS hit_b
+        FROM cands c
+        JOIN terms t ON t.doc_id = c.id_b
+        JOIN docs_n da ON da.doc_id = c.id_a
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT a.id_a, a.id_b,
+           round(0.5 * (hit_a::DOUBLE / n_a + hit_b::DOUBLE / n_b), 6) AS score,
+           (0.5 * (hit_a::DOUBLE / n_a + hit_b::DOUBLE / n_b)) >= 0.8 AS is_dup
+    FROM m_a a JOIN m_b b ON a.id_a = b.id_a AND a.id_b = b.id_b
+"""
+
+
+@register("verify_pairs_native", _VERIFY_SQL)
+def q_verify_pairs_native(spark, sf_dir):
+    """The default-config pair predicate in NATIVE exprs (no UDF):
+    with intraMode=0/intraIns=0 each split term compiles to a literal
+    (uFuzzy.mjs:342-359), so verification is θ-fraction substring
+    containment — JVM codegen end-to-end. The pandas-UDF verifier in
+    operators/verify.py covers the fuzzy configs."""
+    cands = q_lsh_candidate_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", norm_col().alias("norm"))
+
+    terms = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.substring("norm", 1, _VWIN), TOKEN_SPLIT),
+                    lambda t: F.length(t) >= 2,
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    scans = d.select("doc_id", F.substring("norm", 1, _VSCAN).alias("scan"))
+
+    def side(cands, term_side, scan_side, hit_name, n_name):
+        return (
+            cands.join(
+                terms.withColumnRenamed("doc_id", term_side), term_side
+            )
+            .join(
+                scans.select(
+                    F.col("doc_id").alias(scan_side), F.col("scan")
+                ),
+                scan_side,
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count("*").alias(n_name),
+                F.sum(
+                    F.when(F.instr(F.col("scan"), F.col("term")) > 0, 1)
+                    .otherwise(0)
+                ).alias(hit_name),
+            )
+        )
+
+    m_a = side(cands, "id_a", "id_b", "hit_a", "n_a")
+    m_b = side(cands, "id_b", "id_a", "hit_b", "n_b")
+    score = 0.5 * (
+        F.col("hit_a").cast("double") / F.col("n_a")
+        + F.col("hit_b").cast("double") / F.col("n_b")
+    )
+    return (
+        m_a.join(m_b, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(score, 6).alias("score"),
+            (score >= 0.8).alias("is_dup"),
+        )
+    )
+
+
+_SUBSTR_K = 64
+
+_SUBSTR_SQL = f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, substr(norm, i, {_SUBSTR_K}) AS gram
+        FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents) d
+        CROSS JOIN LATERAL unnest(
+            generate_series(1, greatest(length(norm) - {_SUBSTR_K - 1}, 0))
+        ) AS t(i)
+        WHERE length(norm) >= {_SUBSTR_K}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM grams a JOIN grams b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+"""
+
+
+@register("exact_substring_pairs", _SUBSTR_SQL)
+def q_exact_substring_pairs(spark, sf_dir):
+    """Exhaustive long-exact-substring pairs (k=64) via native gram
+    explosion — the oracle for the winnowing pass, which samples ~2/w
+    of these grams with a deterministic >= k+w-1 guarantee
+    (operators/substring.py)."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col().alias("norm"))
+    grams = (
+        d.where(F.length("norm") >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(norm) - {_SUBSTR_K - 1}, 1)),"
+                    f" i -> substring(norm, i, {_SUBSTR_K}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
