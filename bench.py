@@ -70,6 +70,8 @@ def run_suite(spark, sf_dir: str) -> dict:
         "quality_score",
         "token_count",
         "doc_fingerprint",
+        "verify_pairs_native",
+        "exact_substring_pairs",
         "ann_cosine_topk",
         "embedding_stats",
     ):

@@ -124,3 +124,23 @@ def test_exact_dup_star_edges(spark, fixture_dir):
     n, e, r = normed.count(), edges.count(), reps.count()
     assert r + e == n                      # every doc is rep or member
     assert reps.select("url").distinct().count() == r
+
+
+def test_pipeline_optional_branches(spark, fixture_dir):
+    """Substring branch emits a separate table; simhash candidate
+    branch unions postings without breaking the main flow."""
+    from ufuzzy_spark.config import PipelineConfig
+
+    pages = spark.read.parquet(str(fixture_dir / "pages.parquet")).limit(800)
+    res = run_pipeline(
+        spark,
+        pages,
+        pcfg=PipelineConfig(),
+        include_substring_pairs=True,
+        use_simhash_candidates=True,
+    )
+    assert res.clusters.count() > 0
+    assert res.substring_pairs is not None
+    # substring pairs must reference known urls, canonical order
+    sp = res.substring_pairs.limit(50).collect()
+    assert all(r.url_a < r.url_b for r in sp)

@@ -75,12 +75,44 @@ def all_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFram
 def candidate_pairs(
     buckets: DataFrame, pcfg: PipelineConfig | None = None
 ) -> DataFrame:
-    """(url, band_id, band_hash) -> distinct (url_a, url_b), url_a < url_b."""
+    """(url, band_id, band_hash) -> distinct (url_a, url_b), url_a < url_b.
+
+    Skew (north rule: "salted for skew"): a hot band key would funnel
+    every member into ONE window partition, so capping is two-phase:
+    phase 1 ranks within (band, salt) — salt = hash(url) mod
+    salt_buckets — bounding any single task to ~bucket_size/S rows and
+    pre-dropping overflow so phase 2's global per-bucket window sees
+    at most S*cap rows per key. AQE skew-join splitting then covers
+    the residual joins (session.py).
+    """
     pcfg = pcfg or PipelineConfig()
     cap = pcfg.max_bucket_size
+    n_salt = pcfg.salt_buckets
 
+    # phase 1: salted pre-cap (bounds the hottest key's partition).
+    # Overflow within a salt group degrades to star edges against the
+    # salt-group min; salt mins survive to phase 2, whose bucket star
+    # connects them — overflow -> salt_min -> bucket_min keeps
+    # connectivity with bounded (linear) work.
+    salted = buckets.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+    )
+    w_salt = Window.partitionBy("band_id", "band_hash", "salt").orderBy("url")
+    w_salt_all = Window.partitionBy("band_id", "band_hash", "salt")
+    salt_ranked = salted.withColumn("srn", F.row_number().over(w_salt)).withColumn(
+        "salt_min", F.min("url").over(w_salt_all)
+    )
+    pre = salt_ranked.where(F.col("srn") <= cap).drop("salt", "srn", "salt_min")
+    salt_star = (
+        salt_ranked.where(F.col("srn") > cap)
+        .select(F.col("salt_min").alias("url_a"), F.col("url").alias("url_b"))
+        .where(F.col("url_a") != F.col("url_b"))
+    )
+
+    # phase 2: global per-bucket ranking on the bounded survivors
+    # (at most S*cap rows per bucket key reach this window)
     w = Window.partitionBy("band_id", "band_hash").orderBy("url")
-    ranked = buckets.withColumn("rn", F.row_number().over(w)).withColumn(
+    ranked = pre.withColumn("rn", F.row_number().over(w)).withColumn(
         "bucket_min", F.min("url").over(Window.partitionBy("band_id", "band_hash"))
     )
 
@@ -117,35 +149,44 @@ def candidate_pairs(
         .where(F.col("url_a") != F.col("url_b"))
     )
 
-    return quad_pairs.unionByName(star_pairs).dropDuplicates(["url_a", "url_b"])
+    return (
+        quad_pairs.unionByName(star_pairs)
+        .unionByName(salt_star)
+        .dropDuplicates(["url_a", "url_b"])
+    )
 
 
-def simhash_candidates(
+def simhash_chunk_buckets(
     sigs: DataFrame, pcfg: PipelineConfig | None = None
 ) -> DataFrame:
-    """Hamming-ball candidates from 64-bit SimHash via the band trick.
+    """Hamming-ball postings from 64-bit SimHash via the band trick.
 
     Split the fingerprint into (max_hamming+1) chunks: any pair within
     Hamming distance max_hamming agrees exactly on >= 1 chunk
     (pigeonhole), so bucketing per chunk has recall 1.0 for the ball.
-    Same single-shuffle bucket-expansion machinery as MinHash bands.
+    Disjoint band-id space (1000+) so these postings union with the
+    MinHash bands into one candidate join.
     """
     pcfg = pcfg or PipelineConfig()
     n_chunks = pcfg.simhash_max_hamming + 1
     bits_per = 64 // n_chunks
 
-    chunks_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-        lambda c: F.struct(
-            (c + F.lit(1000)).cast("int").alias("band_id"),  # disjoint id space
-            F.xxhash64(
-                c, F.shiftrightunsigned(F.col("simhash"), c * bits_per)
-                % F.lit(2 ** bits_per)
-            ).alias("band_hash"),
-        ),
+    mask = (1 << bits_per) - 1
+    chunks_expr = F.expr(
+        f"transform(sequence(0, {n_chunks - 1}), c -> struct("
+        f"  cast(c + 1000 as int) as band_id,"
+        f"  xxhash64(c, shiftrightunsigned(simhash, cast(c * {bits_per} as int))"
+        f"            & cast({mask} as bigint)) as band_hash))"
     )
-    buckets = (
+    return (
         sigs.select("url", F.explode(chunks_expr).alias("band"))
         .select("url", "band.band_id", "band.band_hash")
     )
-    return candidate_pairs(buckets, pcfg)
+
+
+def simhash_candidates(
+    sigs: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """SimHash Hamming-ball candidate pairs (same machinery as bands)."""
+    pcfg = pcfg or PipelineConfig()
+    return candidate_pairs(simhash_chunk_buckets(sigs, pcfg), pcfg)

@@ -38,6 +38,7 @@ class PipelineResult:
     clusters: DataFrame           # url, cluster_id, is_canonical
     verified_pairs: DataFrame     # url_a, url_b, score, is_dup, ...
     candidate_pairs: DataFrame
+    substring_pairs: DataFrame | None = None  # long exact-substring dupes
     metrics: dict = field(default_factory=dict)
 
 
@@ -48,6 +49,8 @@ def run_pipeline(
     include_langs: tuple[str, ...] = ("en",),
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    include_substring_pairs: bool = False,
+    use_simhash_candidates: bool = False,
 ) -> PipelineResult:
     from ufuzzy_spark.lineage import StageRunner
 
@@ -90,10 +93,18 @@ def run_pipeline(
         ),
     )
 
-    # 4. LSH candidates (one shuffle + distinct)
-    cands = runner.materialize(
-        "candidate_pairs", lambda: candidate_pairs(all_buckets(sigs, pcfg), pcfg)
-    )
+    # 4. LSH candidates (one shuffle + distinct). Optional SimHash
+    # Hamming-ball postings union in as a recall backstop (the band
+    # trick over fingerprint chunks shares the same bucket machinery).
+    def _cands():
+        buckets = all_buckets(sigs, pcfg)
+        if use_simhash_candidates:
+            from ufuzzy_spark.operators.lsh import simhash_chunk_buckets
+
+            buckets = buckets.unionByName(simhash_chunk_buckets(sigs, pcfg))
+        return candidate_pairs(buckets, pcfg)
+
+    cands = runner.materialize("candidate_pairs", _cands)
 
     # 5. bounded-edit verification (precision pass)
     verified = runner.materialize(
@@ -122,7 +133,17 @@ def run_pipeline(
         "clusters", lambda: elect_canonical(cc_labels, normed)
     )
 
-    return PipelineResult(clusters, verified, cands, metrics)
+    # 8. optional long-exact-substring branch: a SEPARATE output table
+    # (shared boilerplate chunks are not near-dup clusters; SURVEY §3)
+    sub_pairs = None
+    if include_substring_pairs:
+        from ufuzzy_spark.operators.substring import substring_pairs
+
+        sub_pairs = runner.materialize(
+            "substring_pairs", lambda: substring_pairs(normed, pcfg)
+        )
+
+    return PipelineResult(clusters, verified, cands, sub_pairs, metrics)
 
 
 def main() -> None:

@@ -44,6 +44,7 @@ def get_spark(
         # ~200MB file to 2 read tasks
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
     )
     for k, v in (extra_conf or {}).items():
