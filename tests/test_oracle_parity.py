@@ -60,6 +60,8 @@ def to_match_config(opts: dict) -> MatchConfig:
     kw = {k: v for k, v in opts.items() if k != "compare"}
     if kw.get("interIns") == "inf":
         kw["interIns"] = math.inf
+    if "intraSlice" in kw:
+        kw["intraSlice"] = tuple(kw["intraSlice"])
     return MatchConfig(**kw)
 
 
@@ -75,6 +77,10 @@ CONFIGS = [
     {"interLft": 2, "interRgt": 2},
     {"interIns": 4},
     {"intraMode": 1, "interLft": 1, "interRgt": 1},
+    {"intraChars": "[a-z\\d\\' ]", "intraIns": 1},
+    {"interChars": "[^a-z\\d]", "intraMode": 1},
+    {"intraSlice": [0, 1000], "intraMode": 1},
+    {"alpha": "a-zążśźęćńół"},
 ]
 
 NEEDLES = [

@@ -108,6 +108,28 @@ class UFuzzyOracle:
         cfg = (cfg or MatchConfig()).resolved()
         self.cfg = cfg
 
+        # custom alphabet swap (uFuzzy.mjs:20,153-165): replace the
+        # latin ranges in every char-class template with the user's
+        inter_split, intra_split = cfg.interSplit, cfg.intraSplit
+        inter_bound, intra_bound = cfg.interBound, cfg.intraBound
+        intra_chars, intra_contr = cfg.intraChars, cfg.intraContr
+        if cfg.alpha is not None:
+            upper, lower = cfg.alpha.upper(), cfg.alpha.lower()
+
+            def swap(s: str) -> str:
+                # JS String.replace(string, ...) swaps only the FIRST
+                # occurrence (uFuzzy.mjs:20) — mirror that quirk
+                return s.replace("A-Z", upper, 1).replace("a-z", lower, 1)
+
+            inter_split = swap(inter_split)
+            intra_split = swap(intra_split)
+            inter_bound = swap(inter_bound)
+            intra_bound = swap(intra_bound)
+            intra_chars = swap(intra_chars)
+            intra_contr = swap(intra_contr)
+        self._interSplit, self._intraSplit = inter_split, intra_split
+        self._interBound, self._intraBound = inter_bound, intra_bound
+
         self.intra_ins = cfg.intraIns
         self.intra_sub = cfg.intraSub
         self.intra_trn = cfg.intraTrn
@@ -118,25 +140,25 @@ class UFuzzyOracle:
         self.inter_rgt = cfg.interRgt
         self.inter_chars = cfg.interChars
         self.inter_ins = cfg.interIns
-        self.intra_chars = cfg.intraChars
+        self.intra_chars = intra_chars
 
         # uFuzzy.mjs:170-171
         self.exacts_re = re.compile(QUOTED_ANY, re.I)
         self.negs_re = re.compile(
-            r"(?:\s+|^)-(?:%s+|%s)" % (cfg.intraChars, QUOTED_ANY), re.I
+            r"(?:\s+|^)-(?:%s+|%s)" % (intra_chars, QUOTED_ANY), re.I
         )
 
         # uFuzzy.mjs:220-226
-        self.with_intra_split = bool(cfg.intraSplit)
-        self.intra_split_re = re.compile(cfg.intraSplit)
-        self.inter_split_re = re.compile(cfg.interSplit)
-        self.trim_re = re.compile("^%s|%s$" % (cfg.interSplit, cfg.interSplit))
-        self.contrs_re = re.compile(cfg.intraContr, re.I)
+        self.with_intra_split = bool(intra_split)
+        self.intra_split_re = re.compile(intra_split)
+        self.inter_split_re = re.compile(inter_split)
+        self.trim_re = re.compile("^%s|%s$" % (inter_split, inter_split))
+        self.contrs_re = re.compile(intra_contr, re.I)
 
         # uFuzzy.mjs:420-423
-        self.with_intra_bound = bool(cfg.intraBound)
-        self.inter_bound_re = re.compile(cfg.interBound)
-        self.intra_bound_re = re.compile(cfg.intraBound)
+        self.with_intra_bound = bool(intra_bound)
+        self.inter_bound_re = re.compile(inter_bound)
+        self.intra_bound_re = re.compile(intra_bound)
 
         self._num_or_alpha_re = re.compile(r"[^\d]+|\d+")  # uFuzzy.mjs:248
         self._query_cache: dict = {}
