@@ -137,3 +137,51 @@ def test_incremental_matches_batch(spark, tmp_path):
 
     # same co-clustering (cluster ids are min-url so directly comparable)
     assert inc == batch
+
+
+def test_pair_features_counters_match_oracle(spark):
+    """pair_features must emit exactly what oracle.info computes for
+    the same needle/haystack (exercises the Arrow plumbing)."""
+    from ufuzzy_spark.config import PipelineConfig
+    from ufuzzy_spark.oracle import UFuzzyOracle
+    from ufuzzy_spark.operators.pair_features import pair_features
+
+    rows = [
+        ("a1", "the quick brown fox jumps over the lazy dog"),
+        ("a2", "the quick brown fox leaps over the lazy dog"),
+        ("b1", "metric name http requests total counter"),
+        ("b2", "counter total requests http name metric"),   # permuted
+        ("c1", "completely unrelated text about wizards"),
+    ]
+    normed = spark.createDataFrame(rows, ["url", "norm_text"])
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2"), ("a1", "c1")], ["url_a", "url_b"]
+    )
+    pcfg = PipelineConfig()
+    out = {(r.url_a, r.url_b): r for r in pair_features(pairs, normed, pcfg).collect()}
+
+    # in-order near-dup: pre-reduced multi-term needle ('jumps' is
+    # dropped by the per-term AND pass, the other 4 terms match)
+    r = out[("a1", "a2")]
+    assert r.matched and r.matched_terms == 5  # the,quick,brown,fox,over
+    assert r.chars > 0 and r.start == 0
+    assert len(r.ranges) >= 2 and r.ranges[0] == r.start
+
+    # permuted dup: degrades to longest-single-term evidence
+    r = out[("b1", "b2")]
+    assert r.matched and r.matched_terms == 1
+
+    # cross-check counters against the oracle directly (same
+    # pre-reduced needle the operator builds: jumps drops out)
+    uf = UFuzzyOracle(pcfg.match)
+    texts = dict(rows)
+    all_terms = [t for t in uf.split(texts["a1"][:512]) if len(t) >= 2]
+    kept = [t for t in all_terms if uf.filter([texts["a2"][:1024]], t)][:5]
+    needle = " ".join(kept)
+    info = uf.info([0], [texts["a2"][:1024]], needle)
+    r = out[("a1", "a2")]
+    assert (r.chars, r.terms, r.intra_ins, r.inter_ins) == (
+        info["chars"][0], info["terms"][0],
+        info["intraIns"][0], info["interIns"][0],
+    )
+    assert list(r.ranges) == [int(x) for x in info["ranges"][0]]

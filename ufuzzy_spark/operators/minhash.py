@@ -14,45 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ufuzzy_spark.config import PipelineConfig
-from ufuzzy_spark.functions.hashing import (
-    all_signatures,
-    bag_minhash_signatures,
-    minhash_signatures,
-    simhash_fingerprints,
-)
-
-
-def make_minhash_udf(pcfg: PipelineConfig):
-    k, num_perm = pcfg.shingle_k, pcfg.num_perm
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def minhash_udf(texts: pd.Series) -> pd.Series:
-        sigs = minhash_signatures(texts.fillna("").tolist(), k, num_perm)
-        return pd.Series(list(sigs))
-
-    return minhash_udf
-
-
-def make_bag_minhash_udf(pcfg: PipelineConfig):
-    num_perm = pcfg.bag_num_perm
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def bag_minhash_udf(tokens: pd.Series) -> pd.Series:
-        sigs = bag_minhash_signatures(tokens.tolist(), num_perm)
-        return pd.Series(list(sigs))
-
-    return bag_minhash_udf
-
-
-def make_simhash_udf(pcfg: PipelineConfig):
-    bits = pcfg.simhash_bits
-
-    @F.pandas_udf(LongType())
-    def simhash_udf(tokens: pd.Series) -> pd.Series:
-        fps = simhash_fingerprints(tokens.tolist(), bits)
-        return pd.Series(fps)
-
-    return simhash_udf
+from ufuzzy_spark.functions.hashing import all_signatures
 
 
 SIG_SCHEMA = StructType(

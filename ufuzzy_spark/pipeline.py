@@ -40,6 +40,7 @@ class PipelineResult:
     candidate_pairs: DataFrame
     substring_pairs: DataFrame | None = None  # long exact-substring dupes
     metrics: dict = field(default_factory=dict)
+    pair_features: DataFrame | None = None    # full Info counters per dup pair
 
 
 def run_pipeline(
@@ -51,6 +52,7 @@ def run_pipeline(
     resume: bool = True,
     include_substring_pairs: bool = False,
     use_simhash_candidates: bool = False,
+    include_pair_features: bool = False,
 ) -> PipelineResult:
     from ufuzzy_spark.lineage import StageRunner
 
@@ -143,7 +145,19 @@ def run_pipeline(
             "substring_pairs", lambda: substring_pairs(normed, pcfg)
         )
 
-    return PipelineResult(clusters, verified, cands, sub_pairs, metrics)
+    # 9. optional evidence enrichment: full reference Info counters for
+    # the verified dup pairs (the pair_features table, SURVEY §1)
+    feats = None
+    if include_pair_features:
+        from ufuzzy_spark.operators.pair_features import pair_features
+
+        feats = runner.materialize(
+            "pair_features", lambda: pair_features(dup_edges, normed, pcfg)
+        )
+
+    return PipelineResult(
+        clusters, verified, cands, sub_pairs, metrics, pair_features=feats
+    )
 
 
 def main() -> None:
