@@ -29,7 +29,10 @@ def con():
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            # engines disagree on ns-vs-us precision only
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)

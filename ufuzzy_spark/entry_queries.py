@@ -907,7 +907,97 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- #
-# 11. embeddings: brute-force cosine top-k + stats
+# 11. event windows: tumbling + session (streaming-shaped aggs on the
+#     events table; Spark native window/session_window vs SQL islands)
+# ---------------------------------------------------------------- #
+
+@register(
+    "event_windows",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_event_windows(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation — the batch expression of
+    the streaming windowed agg (same plan under readStream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, session_no::BIGINT AS session_no,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*)::BIGINT AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def q_event_sessions(spark, sf_dir):
+    """Sessionization with a 30-minute gap — expressed as the
+    gaps-and-islands window form so the DuckDB oracle is exact.
+    (Spark's native session_window(ts, '30 minutes') produces the
+    same sessions; the islands form is used for engine parity.)"""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_session", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_no").cast("long").alias("session_no")
+    ).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 12. embeddings: brute-force cosine top-k + stats
 # ---------------------------------------------------------------- #
 
 _N_QUERIES = 5
