@@ -18,14 +18,22 @@ process.stdin.on('end', () => {
     const opts = Object.assign({}, c.opts || {});
     if (opts.compare === 'plain') opts.compare = plainCmp;
     if (opts.interIns === 'inf') opts.interIns = Infinity;
-    const uf = new uFuzzy(opts);
-    const [idxs, info, order] = uf.search(
-      c.haystack,
-      c.needle,
-      c.outOfOrder || 0,
-      c.infoThresh == null ? 1e3 : c.infoThresh
-    );
-    return { idxs, info: info || null, order: order || null };
+    try {
+      const uf = new uFuzzy(opts);
+      const [idxs, info, order] = uf.search(
+        c.haystack,
+        c.needle,
+        c.outOfOrder || 0,
+        c.infoThresh == null ? 1e3 : c.infoThresh
+      );
+      return { idxs, info: info || null, order: order || null };
+    } catch (e) {
+      // the reference itself can throw (e.g. uFuzzy.mjs:574 compiles
+      // the raw term unescaped: quoted exacts containing regex
+      // metachars crash under interLft/Rgt=1). Surface it so the
+      // Python side can record the divergence instead of dying.
+      return { error: String(e && e.message ? e.message : e) };
+    }
   });
   process.stdout.write(JSON.stringify(out));
 });

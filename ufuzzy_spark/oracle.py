@@ -26,6 +26,12 @@ Known deliberate divergences (documented, config-gated):
   case/accent-insensitive (uFuzzy.mjs:18,151).
 - JS ``.`` excludes \\r and U+2028/U+2029; Python ``re`` excludes only
   \\n. Normalized pipeline text never contains those chars.
+- the interLft/Rgt=1 forward probe escapes the term before compiling
+  (the reference compiles it raw, uFuzzy.mjs:574: quoted exact terms
+  containing regex metachars CRASH it, and metachar terms that happen
+  to compile — e.g. '...' — probe arbitrary text instead of the
+  literal; both found by the differential fuzzer; we match the
+  literal term).
 """
 
 from __future__ import annotations
@@ -44,6 +50,18 @@ EXACT_HERE = "eexxaacctt"  # uFuzzy.mjs:11
 MODE2_TPL = r"(?:\b|_)"    # uFuzzy.mjs:120
 QUOTED_ANY = '".+?"'       # uFuzzy.mjs:169
 OOO_TERMS_LIMIT = 5        # uFuzzy.mjs:763
+
+# JS \b (non-unicode regex) is an ASCII word boundary; Python's \b is
+# Unicode. Compile-time substitution keeps boundary semantics
+# identical for accented text (verified by the differential fuzzer).
+ASCII_B = (
+    r"(?:(?<![0-9A-Za-z_])(?=[0-9A-Za-z_])|(?<=[0-9A-Za-z_])(?![0-9A-Za-z_]))"
+)
+
+
+def _compile_js(pattern: str, flags: int = 0):
+    """Compile a JS-semantics pattern under Python re: ASCII \\b."""
+    return re.compile(pattern.replace(r"\b", ASCII_B), flags)
 
 _ESCAPE_RE = re.compile(r"[.*+?^${}()|[\]\\]")
 
@@ -153,7 +171,7 @@ class UFuzzyOracle:
         self.intra_split_re = re.compile(intra_split)
         self.inter_split_re = re.compile(inter_split)
         self.trim_re = re.compile("^%s|%s$" % (inter_split, inter_split))
-        self.contrs_re = re.compile(intra_contr, re.I)
+        self.contrs_re = _compile_js(intra_contr, re.I)
 
         # uFuzzy.mjs:420-423
         self.with_intra_bound = bool(intra_bound)
@@ -289,7 +307,7 @@ class UFuzzyOracle:
         else:
             tpl = pre_tpl + inter_chars_tpl.join(re_tpls) + suf_tpl
 
-        return re.compile(tpl, re.I), parts, contrs
+        return _compile_js(tpl, re.I), parts, contrs
 
     def _term_tpl_multi_insert(self, p: str, contr: str, capt: int) -> str:
         """intraMode 0 char-chain template (uFuzzy.mjs:342-360)."""
@@ -516,8 +534,12 @@ class UFuzzyOracle:
                                 disc = True
                                 break
 
-                    # suffix boundary class (uFuzzy.mjs:618-639)
-                    rgt_char_idx = idx_acc + group_len
+                    # suffix boundary class (uFuzzy.mjs:618-639).
+                    # NB: the reference evaluates the PRE-refine
+                    # rgtCharIdx here (computed at :545 and never
+                    # refreshed after the :600 refine splice) — a
+                    # quirk the differential fuzzer caught; do not
+                    # recompute it.
                     if rgt_char_idx == len(mhstr) or self.inter_bound_re.search(
                         mhstr[rgt_char_idx]
                     ):
