@@ -70,12 +70,13 @@ class StageRunner:
         df = df_fn()
         df.write.mode("overwrite").parquet(str(path))
         out = self.spark.read.parquet(str(path))
-        rows = out.count()
+        partitions = _partition_lineage(path)
         meta = {
             "stage": name,
             "config_hash": self.config_hash,
-            "rows": rows,
-            "n_files": len(list(path.glob("part-*"))),
+            "rows": sum(p["rows"] for p in partitions),
+            "n_files": len(partitions),
+            "partitions": partitions,
             "wall_ms": int((time.time() - t0) * 1000),
             "ts": time.time(),
             "resumed": False,
@@ -88,3 +89,42 @@ class StageRunner:
     def _log(self, rec: dict) -> None:
         with open(self.dir / "lineage.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    def write_metrics_table(self) -> None:
+        """Materialize the run's stage metrics as a parquet table
+        (<dir>/metrics_table) — the queryable metrics table the north
+        rule asks for, written without a Spark job."""
+        if self.dir is None or not self.metrics:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            {
+                "stage": name,
+                "config_hash": m.get("config_hash", self.config_hash),
+                "rows": m.get("rows", 0),
+                "n_files": m.get("n_files", 0),
+                "wall_ms": m.get("wall_ms", 0),
+                "resumed": bool(m.get("resumed", False)),
+                "ts": float(m.get("ts", time.time())),
+            }
+            for name, m in self.metrics.items()
+        ]
+        out = self.dir / "metrics_table"
+        out.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), out / "metrics.parquet")
+
+
+def _partition_lineage(path: Path) -> list[dict]:
+    """Per-partition (per output file) row counts from parquet footers
+    — free metadata reads, no data scan."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(path.glob("part-*")):
+        try:
+            out.append({"file": f.name, "rows": pq.ParquetFile(f).metadata.num_rows})
+        except Exception:
+            out.append({"file": f.name, "rows": -1})
+    return out

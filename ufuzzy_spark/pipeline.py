@@ -155,6 +155,7 @@ def run_pipeline(
             "pair_features", lambda: pair_features(dup_edges, normed, pcfg)
         )
 
+    runner.write_metrics_table()
     return PipelineResult(
         clusters, verified, cands, sub_pairs, metrics, pair_features=feats
     )
