@@ -17,9 +17,12 @@ WORDS = st.lists(WORD, min_size=3, max_size=12)
 # to match repeated-char targets (verified vs node: 'aqaaaa' never
 # matches 'aaaaa'), so the always-recalled property only holds without
 # adjacent repetition
-DISTINCT_WORD = st.text(
-    alphabet=string.ascii_lowercase, min_size=5, max_size=10
-).filter(lambda w: len(set(w)) == len(w))
+DISTINCT_WORD = st.lists(
+    st.sampled_from(string.ascii_lowercase),
+    min_size=5,
+    max_size=10,
+    unique=True,
+).map("".join)
 DISTINCT_WORDS = st.lists(DISTINCT_WORD, min_size=3, max_size=10)
 
 _uf1 = UFuzzyOracle(MatchConfig(intraMode=1))
