@@ -82,3 +82,22 @@ def test_verify_join_not_cartesian(spark, fixture_dir):
     )
     plan = formatted_plan(verify_pairs(pairs, normed))
     assert not has_cartesian(plan), plan
+
+
+def test_no_unpartitioned_windows_in_entry_plans(spark):
+    """Every ranking in the driver queries must be two-phase/partitioned
+    — an unpartitioned Window funnels all rows into one task at scale
+    (VERDICT r1: rank_comparator, typeahead_rank, ann_cosine_topk)."""
+    import __spark_entry__ as entry
+    from ufuzzy_spark.plans.explain import unpartitioned_window_count
+
+    # queries that run eager jobs at plan-construction time (iterative
+    # CC checkpoints / lineage writes) are pinned by their own e2e tests
+    eager = {"dup_clusters", "resume_lineage"}
+    for name, fn in entry.queries().items():
+        if name in eager:
+            continue
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert unpartitioned_window_count(plan) == 0, (
+            f"{name}: unpartitioned Window in plan\n{plan}"
+        )

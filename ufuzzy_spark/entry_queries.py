@@ -187,6 +187,9 @@ def q_negation_filter(spark, sf_dir):
 # 3. rank comparator keys (SURVEY §2 #7 sort)
 # ---------------------------------------------------------------- #
 
+RANK_CAP = 1000  # the reference's infoThresh (uFuzzy.mjs:876-879)
+
+
 @register(
     "rank_comparator",
     f"""
@@ -197,23 +200,30 @@ def q_negation_filter(spark, sf_dir):
            )::BIGINT AS rnk
     FROM documents
     WHERE strpos({NORM_SQL}, 'query') > 0
+    QUALIFY rnk <= {RANK_CAP}
     """,
 )
 def q_rank_comparator(spark, sf_dir):
     """Deterministic multi-key ranking: earliest start, then text,
     then id — the start/collation tail of the reference comparator
     (uFuzzy.mjs:103-108). chars/intraIns keys are constant for an
-    exact single-term needle and drop out."""
+    exact single-term needle and drop out.
+
+    Ranking is capped at RANK_CAP — the reference's own infoThresh
+    gate (it never ranks more than infoThresh matches,
+    uFuzzy.mjs:876-879) — and computed by two-phase top-k
+    (operators/topk.py), so no unpartitioned Window ever sees an
+    unbounded input (VERDICT r1 #1)."""
+    from ufuzzy_spark.operators.topk import global_rank_asc
+
     d = _docs(spark, sf_dir)
     n = norm_col()
     start = (F.instr(n, "query") - 1).cast("long")
     matched = d.where(F.instr(n, "query") > 0).select(
         "doc_id", start.alias("start"), n.alias("_norm")
     )
-    w = Window.orderBy(F.asc("start"), F.asc("_norm"), F.asc("doc_id"))
-    return matched.withColumn(
-        "rnk", F.row_number().over(w).cast("long")
-    ).select("doc_id", "start", "rnk")
+    ranked = global_rank_asc(matched, ["start", "_norm", "doc_id"], RANK_CAP)
+    return ranked.select("doc_id", "start", "rnk")
 
 
 @register(
@@ -228,12 +238,16 @@ def q_rank_comparator(spark, sf_dir):
            )::BIGINT AS rnk
     FROM documents
     WHERE strpos({NORM_SQL}, 'stream') > 0
+    QUALIFY rnk <= {RANK_CAP}
     """,
 )
 def q_typeahead_rank(spark, sf_dir):
     """Typeahead comparator preset: start offset and match length
     promoted above term-bound counters (demos/compare.html:295-330,
-    SURVEY §2 #7b)."""
+    SURVEY §2 #7b). Same infoThresh-capped two-phase ranking as
+    rank_comparator."""
+    from ufuzzy_spark.operators.topk import global_rank_asc
+
     d = _docs(spark, sf_dir)
     n = norm_col()
     start = (F.instr(n, "stream") - 1).cast("long")
@@ -242,8 +256,10 @@ def q_typeahead_rank(spark, sf_dir):
         start.alias("start"),
         F.length("text").cast("long").alias("txt_len"),
     )
-    w = Window.orderBy(F.asc("start"), F.asc("txt_len"), F.asc("doc_id"))
-    return matched.withColumn("rnk", F.row_number().over(w).cast("long"))
+    ranked = global_rank_asc(
+        matched, ["start", "txt_len", "doc_id"], RANK_CAP
+    )
+    return ranked.select("doc_id", "start", "txt_len", "rnk")
 
 
 @register(
@@ -787,7 +803,7 @@ def q_simhash_fingerprint(spark, sf_dir):
 # 10. text analysis: lang-id, quality, token counts, fingerprint
 # ---------------------------------------------------------------- #
 
-_STOP_RE = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
 @register(
@@ -796,7 +812,8 @@ _STOP_RE = "\\b(" + "|".join(STOPWORDS) + ")\\b"
     WITH t AS (
         SELECT doc_id,
                len({TOKENS_SQL.format(norm=NORM_SQL)})::BIGINT AS n_tokens,
-               len(regexp_extract_all({NORM_SQL}, '{_STOP_RE}'))::BIGINT AS n_stop
+               len(list_filter({TOKENS_SQL.format(norm=NORM_SQL)},
+                   x -> list_contains({_STOP_LIST_SQL}, x)))::BIGINT AS n_stop
         FROM documents
     )
     SELECT doc_id,
@@ -807,10 +824,18 @@ _STOP_RE = "\\b(" + "|".join(STOPWORDS) + ")\\b"
     """,
 )
 def q_lang_id(spark, sf_dir):
+    """Token-level stopword counting: \\b is Unicode-aware in Java
+    regex but ASCII-only in DuckDB's RE2, so boundary-regex counting
+    is only data-dependently portable (ADVICE r1) — exact-token
+    membership against the shared tokenizer is engine-identical."""
     d = _docs(spark, sf_dir)
     n = norm_col()
-    n_tokens = F.size(tokens_expr(n)).cast("long")
-    n_stop = F.size(F.regexp_extract_all(n, F.lit(_STOP_RE), F.lit(0))).cast("long")
+    toks = tokens_expr(n)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
     ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
     return d.select(
         "doc_id",
@@ -1054,13 +1079,17 @@ def q_ann_cosine_topk(spark, sf_dir):
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_r"), F.asc("cid"))
-    return (
-        pairs.withColumn("sim_r", F.round("sim", 6))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= _TOP_K)
-        .select("qid", "cid", "sim_r", "rnk")
-    )
+    from ufuzzy_spark.operators.topk import grouped_topk
+
+    # two-phase per-qid top-k: with Q small each naive Window partition
+    # would hold the ENTIRE corpus' similarity rows (VERDICT r1 #2);
+    # phase 1 prunes every scan partition to k rows per qid in parallel
+    return grouped_topk(
+        pairs.withColumn("sim_r", F.round("sim", 6)),
+        ["qid"],
+        [F.desc("sim_r"), F.asc("cid")],
+        _TOP_K,
+    ).select("qid", "cid", "sim_r", "rnk")
 
 
 @register(

@@ -15,9 +15,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+from ufuzzy_spark.operators.topk import grouped_topk
 
 
 def _dot(a, b):
@@ -54,12 +56,11 @@ def brute_force_topk(
         .where(F.col("qid") != F.col("cid"))
         .select("qid", "cid", cosine_col(F.col("qe"), F.col("ce")).alias("sim"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("qid", "cid", "sim", "rnk")
-    )
+    # two-phase top-k: a plain Window.partitionBy(qid) would move the
+    # whole corpus' similarity rows into Q tasks (VERDICT r1 #2)
+    return grouped_topk(
+        sims, ["qid"], [F.desc("sim"), F.asc("cid")], k
+    ).select("qid", "cid", "sim", "rnk")
 
 
 def make_srp_udf(dim: int, n_tables: int, bits_per_table: int, seed: int = 42):
@@ -118,9 +119,6 @@ def lsh_topk(
     sims = cand.select(
         "qid", "cid", cosine_col(F.col("qe"), F.col("ce")).alias("sim")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("qid", "cid", "sim", "rnk")
-    )
+    return grouped_topk(
+        sims, ["qid"], [F.desc("sim"), F.asc("cid")], k
+    ).select("qid", "cid", "sim", "rnk")

@@ -46,6 +46,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for it in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("url", "dst"), "dst")
@@ -76,7 +77,29 @@ def connected_components(
                 .count()
             )
             if changed == 0:
+                converged = True
                 break
+
+    if not converged:
+        # labels move one hop per round; a dup chain with diameter >
+        # max_iter would exit the loop with inconsistent cluster ids,
+        # and even-iteration exits skip the changed-check (ADVICE r1) —
+        # spend one final job to verify before trusting the labels
+        final_changed = (
+            sym.join(labels.withColumnRenamed("url", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .join(labels.withColumnRenamed("url", "src"), "src")
+            .where(F.col("nbr_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        if final_changed > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (cluster diameter exceeds max_iter); "
+                "raise max_iter"
+            )
 
     out = labels.withColumnRenamed("label", "cluster_id")
     if all_nodes is not None:

@@ -179,7 +179,13 @@ class UFuzzyOracle:
         self.intra_bound_re = re.compile(intra_bound)
 
         self._num_or_alpha_re = re.compile(r"[^\d]+|\d+")  # uFuzzy.mjs:248
+        # bounded compile cache: PairVerifier/pair_features call
+        # prep_query once per distinct corpus term, so an unbounded
+        # dict grows for the executor's lifetime on large vocabularies
+        # (ADVICE r1). FIFO eviction at the cap is enough — the hot
+        # vocabulary re-inserts itself immediately.
         self._query_cache: dict = {}
+        self._query_cache_max = 65536
 
         # rank tiebreak collation (uFuzzy.mjs:18,151); override-able like
         # the reference's opts.compare (dist/uFuzzy.d.ts:170)
@@ -253,6 +259,8 @@ class UFuzzyOracle:
         if key in self._query_cache:
             return self._query_cache[key]
         out = self._prep_query(needle, capt, inter_or)
+        if len(self._query_cache) >= self._query_cache_max:
+            self._query_cache.pop(next(iter(self._query_cache)))
         self._query_cache[key] = out
         return out
 

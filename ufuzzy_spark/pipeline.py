@@ -41,6 +41,19 @@ class PipelineResult:
     substring_pairs: DataFrame | None = None  # long exact-substring dupes
     metrics: dict = field(default_factory=dict)
     pair_features: DataFrame | None = None    # full Info counters per dup pair
+    _persisted: list = field(default_factory=list, repr=False)
+
+    def unpersist(self) -> None:
+        """Release executor storage held by the run's persist() fences.
+        Call after consuming the result DataFrames — repeated
+        run_pipeline calls in one session otherwise accumulate cached
+        blocks (VERDICT r1 #4)."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
 
 def run_pipeline(
@@ -76,11 +89,13 @@ def run_pipeline(
     # slim projection persisted once: normalize feeds 5 consumers
     # (exact dedup, signatures, verify texts x2, CC nodes, election) —
     # without this the narrow normalize plan recomputes per consumer
+    persisted: list = []
     normed = (
         normalize(in_scope, pcfg.match)
         .select("url", "warc_ts", "norm_text")
         .persist()
     )
+    persisted.append(normed)
 
     # 2. exact-hash pre-dedup: strips identical-content mass before LSH
     exact_edges_l, reps_l = exact_dedup(normed)
@@ -119,6 +134,7 @@ def run_pipeline(
         # the whole signatures->LSH->verify chain computes twice
         verified = verified.persist()
         verified.count()
+        persisted.append(verified)
     dup_edges = verified.where("is_dup").select("url_a", "url_b")
 
     # 6. connected components over exact + verified edges — exact star
@@ -127,6 +143,7 @@ def run_pipeline(
     if checkpoint_dir is None:
         exact_edges = exact_edges.persist()
         exact_edges.count()
+        persisted.append(exact_edges)
     all_edges = exact_edges.unionByName(dup_edges)
     cc_labels = connected_components(all_edges, all_nodes=normed.select("url"))
 
@@ -157,7 +174,13 @@ def run_pipeline(
 
     runner.write_metrics_table()
     return PipelineResult(
-        clusters, verified, cands, sub_pairs, metrics, pair_features=feats
+        clusters,
+        verified,
+        cands,
+        sub_pairs,
+        metrics,
+        pair_features=feats,
+        _persisted=persisted,
     )
 
 

@@ -54,3 +54,26 @@ def codegen_stage_count(plan: str) -> int:
 
     ids = set(re.findall(r"codegen id : (\d+)", plan))
     return len(ids) or plan.count("WholeStageCodegen")
+
+
+def unpartitioned_window_count(plan: str) -> int:
+    """Number of Window operators with NO partition columns — the
+    single-task global-sort shape that dies at scale (VERDICT r1 #1).
+
+    Formatted explain prints a Window's Arguments as bracketed lists:
+    ``[exprs], [partitionCols], [orderCols]`` when partitioned, and
+    only ``[exprs], [orderCols]`` when not.
+    """
+    n = 0
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and line.strip().startswith("Arguments:"):
+            lists = line.split("], [")
+            if len(lists) == 2:
+                # [exprs], [partitionCols] (partition-only window) or
+                # [exprs], [orderCols] (unpartitioned) — order lists
+                # always carry sort direction markers
+                if " ASC" in lists[1] or " DESC" in lists[1]:
+                    n += 1
+            elif len(lists) < 2:
+                n += 1
+    return n

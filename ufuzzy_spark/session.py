@@ -31,6 +31,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin UTC: event windows / timestamp formatting must not depend
+        # on the deployment host's zone (DuckDB oracle reads parquet
+        # timestamps naively as UTC; ADVICE r1)
+        .config("spark.sql.session.timeZone", "UTC")
         # adaptive execution: coalesce + skew-join split at runtime
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
