@@ -67,3 +67,20 @@ def test_query_matches_oracle(spark, con, name):
             f"{name}: value mismatch\nspark:\n{a[diff_mask].head(5)}\n"
             f"duckdb:\n{b[diff_mask].head(5)}"
         )
+
+
+def test_single_error_fixture_fresh():
+    """The checked-in precomputed expected table for the single_error
+    entry must match a live regeneration from the Python oracle."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from gen_single_error_fixture import OUT, expected_rows
+
+    live = pd.DataFrame(expected_rows())
+    stored = pd.read_parquet(OUT)
+    pd.testing.assert_frame_equal(
+        live.sort_values(["needle", "doc_id"], ignore_index=True),
+        stored.sort_values(["needle", "doc_id"], ignore_index=True),
+    )

@@ -185,3 +185,73 @@ def test_pair_features_counters_match_oracle(spark):
         info["intraIns"][0], info["interIns"][0],
     )
     assert list(r.ranges) == [int(x) for x in info["ranges"][0]]
+
+
+def test_refine_probe_matches_oracle_info(spark):
+    """The native refine algebra in entry_queries.q_refine_match_probe
+    must equal oracle.info()'s post-refineMatch start/intraIns
+    (uFuzzy.mjs:524-539,754-761) on every matching sf0.001 doc."""
+    from ufuzzy_spark.config import MatchConfig
+    from ufuzzy_spark.entry_queries import (
+        _REFINE_CFG_KW,
+        _REFINE_TERM,
+        q_refine_match_probe,
+    )
+    from ufuzzy_spark.latinize import latinize
+    from ufuzzy_spark.oracle import UFuzzyOracle
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["start"], r["intra_ins"], r["refined"])
+        for r in q_refine_match_probe(spark, sf).collect()
+    }
+    uf = UFuzzyOracle(MatchConfig(**_REFINE_CFG_KW))
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    n_refined = 0
+    for row in docs:
+        norm = latinize(row["text"]).lower()
+        idxs = uf.filter([norm], _REFINE_TERM)
+        if not idxs:
+            assert row["doc_id"] not in got
+            continue
+        info = uf.info(idxs, [norm], _REFINE_TERM)
+        start, intra = got[row["doc_id"]][0], got[row["doc_id"]][1]
+        assert info["start"][0] == start, row["doc_id"]
+        assert info["intraIns"][0] == intra, row["doc_id"]
+        n_refined += int(got[row["doc_id"]][2])
+    assert n_refined > 0, "corpus never exercises the refine path"
+
+
+def test_srp_lsh_ann_recall_on_clustered_vectors(spark):
+    """lsh_topk (SRP buckets + exact re-rank) must reach recall >= 0.95
+    vs the exact brute-force oracle. Testdata embeddings are uniform
+    random (no neighbor structure — CLAUDE.md), so this uses synthetic
+    clustered vectors: 50 centers x 40 points at ~0.9 within-cluster
+    cosine, the regime ANN is for."""
+    import numpy as np
+
+    from ufuzzy_spark.operators.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(50, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci in range(50):
+        for _ in range(40):
+            v = centers[ci] + 0.04 * rng.randn(64)
+            rows.append((len(rows), [float(x) for x in v]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = embs.where("vec_id % 200 = 0")  # 10 queries, one per 5th cluster
+
+    truth: dict = {}
+    for r in brute_force_topk(embs, q, k=10).collect():
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+    got: dict = {}
+    for r in lsh_topk(embs, q, k=10, n_tables=16, bits_per_table=8).collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    recall = sum(
+        len(truth[k] & got.get(k, set())) / len(truth[k]) for k in truth
+    ) / len(truth)
+    assert recall >= 0.95, recall

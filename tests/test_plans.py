@@ -101,3 +101,13 @@ def test_no_unpartitioned_windows_in_entry_plans(spark):
         assert unpartitioned_window_count(plan) == 0, (
             f"{name}: unpartitioned Window in plan\n{plan}"
         )
+
+
+def test_tpch_region_revenue_broadcasts_dims(spark):
+    """nation/region dims must reach the plan as broadcast joins; the
+    orders x customer fact join must not be a cartesian."""
+    from ufuzzy_spark.entry_queries import q_tpch_region_revenue
+
+    plan = formatted_plan(q_tpch_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert not has_cartesian(plan), plan

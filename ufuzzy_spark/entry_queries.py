@@ -338,6 +338,217 @@ def q_intra_rules_ladder(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- #
+# 3b. permute fan-out (SURVEY §2 #11), quoted exacts, refineMatch
+# ---------------------------------------------------------------- #
+
+_PERM_TERMS = ["sort", "merge", "spark"]
+
+
+def _perm_patterns() -> list[tuple[int, str]]:
+    """(perm_id, compiled in-order pattern) in the reference's Heap's
+    -algorithm emission order (uFuzzy.mjs:986-1010)."""
+    from ufuzzy_spark.oracle import permute
+
+    return [
+        (i, _mi_pattern(" ".join(p))) for i, p in enumerate(permute(_PERM_TERMS))
+    ]
+
+
+@register(
+    "permute_fanout",
+    "\nUNION ALL\n".join(
+        f"""SELECT {pid}::BIGINT AS perm_id, doc_id FROM documents
+        WHERE regexp_matches({NORM_SQL}, '(?i){pat}')"""
+        for pid, pat in _perm_patterns()
+    ),
+)
+def q_permute_fanout(spark, sf_dir):
+    """OOO permutation fan-out (uFuzzy.mjs:835-858): one compiled
+    in-order MultiInsert pattern per term permutation, emitted in
+    Heap's-algorithm order (:986-1010). One scan pass: the per-doc
+    match set is computed as an array of per-permutation hits and
+    exploded — no N-pass union, no extra shuffle."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    hits = F.array(
+        *[
+            F.when(n.rlike("(?i)" + pat), F.lit(pid).cast("long"))
+            for pid, pat in _perm_patterns()
+        ]
+    )
+    return (
+        d.select("doc_id", F.explode(hits).alias("perm_id"))
+        .where(F.col("perm_id").isNotNull())
+        .select("perm_id", "doc_id")
+    )
+
+
+_QUOTED_NEEDLE = '"slow fast" query'
+_QUOTED_RE = _mi_pattern(_QUOTED_NEEDLE)
+
+
+@register(
+    "quoted_exact",
+    f"""
+    SELECT doc_id,
+           (strpos({NORM_SQL}, 'slow fast') - 1)::BIGINT AS phrase_start
+    FROM documents
+    WHERE regexp_matches({NORM_SQL}, '(?i){_QUOTED_RE}')
+    """,
+)
+def q_quoted_exact(spark, sf_dir):
+    """Quoted-exact term semantics (uFuzzy.mjs:229-234, :169): the
+    quoted phrase is stashed before tokenization and compiled as an
+    escaped LITERAL — including its interior space, which an unquoted
+    needle would split on — followed in order by the fuzzy term.
+    Contraction detachment (:258-262) shares this code path and is
+    differential-tested (tests/test_oracle.py); driver documents
+    contain no apostrophes, so its driver probe would be vacuous."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    return d.where(n.rlike("(?i)" + _QUOTED_RE)).select(
+        "doc_id",
+        (F.instr(n, "slow fast") - 1).cast("long").alias("phrase_start"),
+    )
+
+
+# refineMatch probe (SURVEY §2 #6, uFuzzy.mjs:524-539 + :754-761):
+# with a fuzzy term template (intraIns=2; intraChars widened to allow
+# spaces — both documented reference options) the leftmost match can
+# be a multi-word fuzzy stretch like "r ow"; if the EXACT term occurs
+# later in the trailing junk group, info() splices it in and restarts
+# the range there, zeroing the intra-insert count. The refine algebra
+# below is native on both engines; tests/test_operators.py pins it to
+# oracle.info()'s refined output on the same rows.
+_REFINE_TERM = "row"
+_REFINE_CFG_KW = dict(intraIns=2, intraChars="[a-z\\d' ]")
+
+
+def _refine_pattern() -> str:
+    uf = UFuzzyOracle(MatchConfig(**_REFINE_CFG_KW))
+    q = uf.prep_query(_REFINE_TERM)
+    assert q is not None
+    return q[0].pattern
+
+
+_REFINE_RE = _refine_pattern()
+_REFINE_RE_SQL = _REFINE_RE.replace("'", "''")
+
+
+@register(
+    "refine_match_probe",
+    f"""
+    WITH m AS (
+        SELECT doc_id, {NORM_SQL} AS norm,
+               regexp_extract({NORM_SQL}, '{_REFINE_RE_SQL}') AS grp,
+               (length({NORM_SQL})
+                - length(regexp_extract({NORM_SQL},
+                         '(?s){_REFINE_RE_SQL}.*'))) AS fuzzy_start
+        FROM documents
+        WHERE regexp_matches({NORM_SQL}, '{_REFINE_RE_SQL}')
+    ),
+    r AS (
+        SELECT doc_id, grp, fuzzy_start,
+               strpos(substr(norm, fuzzy_start + length(grp) + 1),
+                      '{_REFINE_TERM}') AS idx_of
+        FROM m
+    )
+    SELECT doc_id,
+           (grp != '{_REFINE_TERM}' AND idx_of > 0) AS refined,
+           CASE WHEN grp != '{_REFINE_TERM}' AND idx_of > 0
+                THEN fuzzy_start + length(grp) + idx_of - 1
+                ELSE fuzzy_start END::BIGINT AS start,
+           CASE WHEN grp != '{_REFINE_TERM}' AND idx_of > 0 THEN 0
+                ELSE length(grp) - {len(_REFINE_TERM)} END::BIGINT AS intra_ins
+    FROM r
+    """,
+)
+def q_refine_match_probe(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    term = _REFINE_TERM
+    tlen = len(term)
+    n = norm_col()
+    m = d.where(n.rlike(_REFINE_RE)).select(
+        "doc_id",
+        n.alias("norm"),
+        F.regexp_extract(n, _REFINE_RE, 0).alias("grp"),
+        (
+            F.length(n)
+            - F.length(F.regexp_extract(n, "(?s)" + _REFINE_RE + ".*", 0))
+        ).alias("fuzzy_start"),
+    )
+    rest = F.col("norm").substr(
+        F.col("fuzzy_start") + F.length("grp") + 1, F.length("norm")
+    )
+    r = m.select(
+        "doc_id", "grp", "fuzzy_start", F.instr(rest, term).alias("idx_of")
+    )
+    refined = (F.col("grp") != term) & (F.col("idx_of") > 0)
+    return r.select(
+        "doc_id",
+        refined.alias("refined"),
+        F.when(
+            refined, F.col("fuzzy_start") + F.length("grp") + F.col("idx_of") - 1
+        )
+        .otherwise(F.col("fuzzy_start"))
+        .cast("long")
+        .alias("start"),
+        F.when(refined, F.lit(0))
+        .otherwise(F.length("grp") - tlen)
+        .cast("long")
+        .alias("intra_ins"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 3c. SingleError mode (intraMode=1, uFuzzy.mjs:268-341)
+# ---------------------------------------------------------------- #
+
+_SE_NEEDLES = ["strem", "windwo"]
+_SE_FIXTURE = "/root/repo/fixtures/single_error_expected.parquet"
+
+
+def _se_patterns() -> list[tuple[str, str]]:
+    uf = UFuzzyOracle(MatchConfig(intraMode=1))
+    return [(nd, uf.prep_query(nd)[0].pattern) for nd in _SE_NEEDLES]
+
+
+@register(
+    "single_error",
+    f"""
+    -- intraMode=1 patterns use anti-greedy lookaheads
+    -- (uFuzzy.mjs:296-299) that RE2 cannot run, so the oracle is the
+    -- precomputed expected table from the node-pinned Python oracle
+    -- (scripts/gen_single_error_fixture.py; staleness-guarded by
+    -- tests/test_entry_parity.py). Pinned to sf0.01, the driver's
+    -- correctness scale.
+    SELECT needle, doc_id FROM read_parquet('{_SE_FIXTURE}')
+    """,
+)
+def q_single_error(spark, sf_dir):
+    """SingleError matching mode (SURVEY §2 #2/#3 at intraMode=1):
+    each term compiles to an alternation of exact | substitution |
+    transposition | deletion | insertion variants with the intraSlice
+    first-char anchor and anti-greedy lookahead (uFuzzy.mjs:268-341).
+    Computed LIVE here with the compiled pattern (Java regex handles
+    the lookaheads); the DuckDB side replays the oracle-precomputed
+    expected set."""
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    hits = F.array(
+        *[
+            F.when(n.rlike(pat), F.lit(nd))
+            for nd, pat in _se_patterns()
+        ]
+    )
+    return (
+        d.select("doc_id", F.explode(hits).alias("needle"))
+        .where(F.col("needle").isNotNull())
+        .select("needle", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------- #
 # 4. exact dedup (hash groupBy; pipeline stage 2)
 # ---------------------------------------------------------------- #
 
@@ -732,6 +943,186 @@ def q_dup_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- #
+# 8b. pair_features — full reference Info counters per candidate pair
+#     (SURVEY §2 #5; dist/uFuzzy.d.ts:175-207)
+# ---------------------------------------------------------------- #
+
+_PF_WIN = 512          # PipelineConfig.verify_window_chars default
+_PF_INTRA_BOUND = "[A-Za-z]\\d|\\d[A-Za-z]|[a-z][A-Z]"
+_PF_INTER_BOUND = "[^A-Za-z\\d]"
+
+_PAIR_FEATURES_SQL = f"""
+    WITH cands AS ({_CANDS_SQL}),
+    docs_n AS (
+        SELECT doc_id,
+               substr({NORM_SQL}, 1, {_PF_WIN}) AS win_a,
+               substr({NORM_SQL}, 1, {2 * _PF_WIN}) AS win_b
+        FROM documents
+    ),
+    sel AS (
+        SELECT c.id_a, c.id_b, db.win_b AS b2,
+               list_filter(
+                   list_filter(
+                       regexp_split_to_array(da.win_a, '[^a-z\\d'']+'),
+                       x -> length(x) >= 2),
+                   t -> strpos(db.win_b, t) > 0)[1] AS term
+        FROM cands c
+        JOIN docs_n da ON da.doc_id = c.id_a
+        JOIN docs_n db ON db.doc_id = c.id_b
+    ),
+    feat AS (
+        SELECT id_a, id_b, b2, term,
+               (strpos(b2, term) - 1) AS s0,
+               length(term) AS tlen
+        FROM sel WHERE term IS NOT NULL
+    ),
+    bnd AS (
+        SELECT *,
+               CASE WHEN s0 = 0 THEN NULL ELSE substr(b2, s0, 1) END AS bef,
+               substr(b2, s0 + tlen + 1, 1) AS aft,
+               substr(b2, s0 + 1, 1) AS fst,
+               substr(b2, s0 + tlen, 1) AS lst
+        FROM feat
+    ),
+    cls AS (
+        SELECT id_a, id_b, s0, tlen,
+               (s0 = 0 OR regexp_matches(bef, '{_PF_INTER_BOUND}')) AS p2,
+               (s0 > 0 AND NOT regexp_matches(bef, '{_PF_INTER_BOUND}')
+                AND regexp_matches(bef || fst, '{_PF_INTRA_BOUND}')) AS p1,
+               (s0 + tlen = length(b2)
+                OR regexp_matches(aft, '{_PF_INTER_BOUND}')) AS s2,
+               (s0 + tlen < length(b2)
+                AND NOT regexp_matches(aft, '{_PF_INTER_BOUND}')
+                AND regexp_matches(lst || aft, '{_PF_INTRA_BOUND}')) AS s1
+        FROM bnd
+    ),
+    hit AS (
+        SELECT id_a, id_b,
+               true AS matched, 1::INT AS matched_terms,
+               s0::INT AS start, tlen::INT AS chars,
+               CASE WHEN (p2 OR p1) AND (s2 OR s1) THEN 1 ELSE 0 END::INT AS terms,
+               1::INT AS cases, 0::INT AS intra_ins, 0::INT AS inter_ins,
+               p2::INT AS lft2, p1::INT AS lft1,
+               s2::INT AS rgt2, s1::INT AS rgt1,
+               s0::INT AS range_start, (s0 + tlen)::INT AS range_end
+        FROM cls
+    ),
+    miss AS (
+        SELECT id_a, id_b,
+               false AS matched, 0::INT AS matched_terms,
+               -1::INT AS start, 0::INT AS chars, 0::INT AS terms,
+               0::INT AS cases, 0::INT AS intra_ins, 0::INT AS inter_ins,
+               0::INT AS lft2, 0::INT AS lft1, 0::INT AS rgt2, 0::INT AS rgt1,
+               NULL::INT AS range_start, NULL::INT AS range_end
+        FROM sel WHERE term IS NULL
+    )
+    SELECT * FROM hit UNION ALL SELECT * FROM miss
+"""
+
+
+@register("pair_features", _PAIR_FEATURES_SQL)
+def q_pair_features(spark, sf_dir):
+    """Full Info counters per LSH candidate pair — the reference's
+    most distinctive output (Info struct, dist/uFuzzy.d.ts:175-207;
+    uFuzzy.mjs:425-752). Spark runs the REAL operator
+    (operators/pair_features.py — oracle.info inside an Arrow UDF)
+    with needle_terms=1; the DuckDB side independently recomputes the
+    literal-term info algebra (start, chars/terms/cases, the
+    interLft2/1-interRgt2/1 boundary classes, highlight range), so
+    the gate is a genuine cross-implementation differential."""
+    from ufuzzy_spark.config import PipelineConfig
+    from ufuzzy_spark.operators.pair_features import pair_features
+
+    cands = q_lsh_candidate_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
+    )
+    normed = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), norm_col().alias("norm_text")
+    )
+    feats = pair_features(cands, normed, PipelineConfig(), needle_terms=1)
+    return feats.select(
+        F.col("url_a").alias("id_a"),
+        F.col("url_b").alias("id_b"),
+        "matched",
+        "matched_terms",
+        "start",
+        "chars",
+        "terms",
+        "cases",
+        "intra_ins",
+        "inter_ins",
+        "lft2",
+        "lft1",
+        "rgt2",
+        "rgt1",
+        F.try_element_at("ranges", F.lit(1)).alias("range_start"),
+        F.try_element_at("ranges", F.lit(2)).alias("range_end"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 8c. resume + lineage metrics (SURVEY §2 #14 prefixCache analog)
+# ---------------------------------------------------------------- #
+
+@register(
+    "resume_lineage",
+    f"""
+    SELECT 'candidate_pairs' AS stage,
+           (SELECT count(*) FROM ({_CANDS_SQL}))::BIGINT AS n_rows,
+           true AS resumed
+    UNION ALL
+    SELECT 'normed', (SELECT count(*) FROM documents)::BIGINT, true
+    UNION ALL
+    SELECT 'verified_pairs',
+           (SELECT count(*) FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.7)::BIGINT,
+           true
+    """,
+)
+def q_resume_lineage(spark, sf_dir):
+    """Checkpoint/resume with lineage metrics (the prefixCache idea at
+    pipeline scale, demos/compare.html:562-601; lineage.py). Runs a
+    3-stage md5-parity pipeline through StageRunner TWICE into a fresh
+    dir: run 1 computes and writes per-stage parquet + lineage
+    records; run 2 must RESUME every stage (config_hash + _SUCCESS
+    rule). The returned table is run 2's metrics — stage row counts
+    come from parquet footer lineage (_partition_lineage), and
+    resumed=true is asserted by the oracle, so a broken resume path
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from ufuzzy_spark.lineage import StageRunner
+
+    tmp = tempfile.mkdtemp(prefix="ufz_resume_entry_")
+    try:
+
+        def stages(runner):
+            runner.materialize(
+                "normed", lambda: q_normalize_tokens(spark, sf_dir)
+            )
+            runner.materialize(
+                "candidate_pairs", lambda: q_lsh_candidate_pairs(spark, sf_dir)
+            )
+            runner.materialize(
+                "verified_pairs",
+                lambda: q_ngram_jaccard(spark, sf_dir).where("jaccard >= 0.7"),
+            )
+
+        stages(StageRunner(spark, tmp, "md5parity-v1", resume=True))
+        second = StageRunner(spark, tmp, "md5parity-v1", resume=True)
+        stages(second)
+        rows = [
+            (name, int(m["rows"]), bool(m["resumed"]))
+            for name, m in second.metrics.items()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage string, n_rows long, resumed boolean"
+    )
+
+
+# ---------------------------------------------------------------- #
 # 9. SimHash fingerprint halves (bit-parallel majority)
 # ---------------------------------------------------------------- #
 
@@ -932,6 +1323,148 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- #
+# 10b. relational plans over the TPC-H tables: broadcast-dim joins,
+#      multi-agg, distributed top-k (VERDICT r1 #7). Money is summed
+#      in integer cents (per-row round, then BIGINT sum) so the
+#      cross-engine hash never rides on float-sum association order.
+# ---------------------------------------------------------------- #
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+@register(
+    "tpch_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(round(l_quantity, 0)::BIGINT)::BIGINT AS sum_qty,
+           sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT
+               AS sum_base_cents,
+           sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)
+               ::BIGINT AS sum_disc_cents,
+           count(*)::BIGINT AS n_rows,
+           round(sum(round(l_quantity, 0)::BIGINT)::DOUBLE / count(*), 6)
+               AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: predicate pushed to the scan,
+    partial (map-side) aggregation before one shuffle on the 6-value
+    group key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(disc).alias("sum_disc_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_cents",
+            "sum_disc_cents",
+            "n_rows",
+            F.round(
+                F.col("sum_qty").cast("double") / F.col("n_rows"), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "tpch_region_revenue",
+    """
+    SELECT r_name, n_name, count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_tpch_region_revenue(spark, sf_dir):
+    """Star join: the fact-side orders x customer equi-join shuffles on
+    the key; nation/region dims are explicitly broadcast (pinned by
+    tests/test_plans.py — no shuffle for the dim side at any scale)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_top_suppliers",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)
+                   ::BIGINT AS revenue_cents
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.revenue_cents,
+           row_number() OVER (
+             ORDER BY r.revenue_cents DESC, s.s_suppkey ASC)::BIGINT AS rnk
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    QUALIFY rnk <= 10
+    """,
+)
+def q_tpch_top_suppliers(spark, sf_dir):
+    """TPC-H Q15-shaped top-revenue suppliers: full agg on l_suppkey
+    (map-side partials), then the distributed two-phase global top-10
+    from operators/topk.py — revenue ranking never funnels the whole
+    supplier table into one task."""
+    from ufuzzy_spark.operators.topk import global_rank_asc
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .select(
+            (-F.col("revenue_cents")).alias("neg_rev"),
+            F.col("l_suppkey").alias("s_suppkey"),
+        )
+    )
+    top = global_rank_asc(rev, ["neg_rev", "s_suppkey"], 10)
+    return (
+        top.join(F.broadcast(supp), "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (-F.col("neg_rev")).alias("revenue_cents"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------- #
 # 11. event windows: tumbling + session (streaming-shaped aggs on the
 #     events table; Spark native window/session_window vs SQL islands)
 # ---------------------------------------------------------------- #
@@ -1089,6 +1622,133 @@ def q_ann_cosine_topk(spark, sf_dir):
         ["qid"],
         [F.desc("sim_r"), F.asc("cid")],
         _TOP_K,
+    ).select("qid", "cid", "sim_r", "rnk")
+
+
+# SRP-LSH ANN (the scale path: bucketed, never all-pairs). Like the
+# minhash family above, this is the md5-PARITY variant so DuckDB can
+# replay candidate generation bit-for-bit; the production kernel is
+# the NumPy SRP in operators/ann.py (lsh_topk), whose recall is pinned
+# by tests/test_operators.py on clustered synthetic vectors.
+_SRP_BANDS = 4
+_SRP_BITS = 8
+_2P59 = "576460752303423488.0"  # 2^59: h60 -> [-1, 1) plane component
+
+_SRP_BUCKETS_SPARK = f"""
+transform(sequence(0, {_SRP_BANDS - 1}), b ->
+  aggregate(sequence(0, {_SRP_BITS - 1}),
+            shiftleft(CAST(b AS BIGINT), 32), (acc, k) ->
+    acc + IF(
+      aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (s, i) ->
+        s + CAST(embedding[i] AS DOUBLE) *
+            (CAST(conv(substr(md5(concat('srp|', b * {_SRP_BITS} + k, '|', i)),
+                       1, 15), 16, 10) AS BIGINT)
+             / {_2P59}D - 1.0D)
+      ) > 0.0D,
+      shiftleft(1L, k), 0L)
+  )
+)
+"""
+
+_SRP_BUCKETS_SQL = f"""
+list_transform(range({_SRP_BANDS}), b ->
+  (b::BIGINT << 32) + list_sum(list_transform(range({_SRP_BITS}), k ->
+    CASE WHEN list_sum(list_transform(range(64), i ->
+      embedding[i + 1]::DOUBLE *
+      ((('0x' || substr(md5('srp|' || (b * {_SRP_BITS} + k) || '|' || i),
+          1, 15))::BIGINT / {_2P59}) - 1.0)
+    )) > 0 THEN (1::BIGINT << k) ELSE 0 END))::BIGINT
+)
+"""
+
+_ANN_SRP_SQL = f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_SRP_BUCKETS_SQL} AS buckets
+        FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS qid, t.bkt
+           FROM sigs, unnest(buckets) AS t(bkt) WHERE vec_id < {_N_QUERIES}),
+    cb AS (SELECT vec_id AS cid, t.bkt FROM sigs, unnest(buckets) AS t(bkt)),
+    cand AS (
+        SELECT DISTINCT qid, cid FROM qb JOIN cb USING (bkt)
+        WHERE qid != cid
+    ),
+    sims AS (
+        SELECT c.qid, c.cid,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(q.embedding,
+                        x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(e.embedding,
+                        x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim_r
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.qid
+        JOIN embeddings e ON e.vec_id = c.cid
+    )
+    SELECT qid, cid, sim_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY sim_r DESC, cid ASC)::BIGINT AS rnk
+    FROM sims
+    QUALIFY rnk <= {_TOP_K}
+"""
+
+
+@register("ann_srp_topk", _ANN_SRP_SQL)
+def q_ann_srp_topk(spark, sf_dir):
+    """Signed-random-projection LSH ANN (SURVEY pipeline operator;
+    operators/ann.py:lsh_topk is the NumPy production twin): bucket =
+    packed sign bits of md5-seeded hyperplane projections, candidates
+    = same (band, bucket) pairs — a broadcast equi-join, never a
+    corpus cross-join — then exact cosine re-rank of candidates only
+    via two-phase top-k."""
+    from ufuzzy_spark.operators.topk import grouped_topk
+
+    e = _embs(spark, sf_dir)
+    sigs = e.select(
+        "vec_id", "embedding", F.expr(_SRP_BUCKETS_SPARK).alias("buckets")
+    )
+    qb = (
+        sigs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.explode("buckets").alias("bkt"))
+    )
+    cb = sigs.select(
+        F.col("vec_id").alias("cid"), F.explode("buckets").alias("bkt")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "bkt")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    sims = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("qe"), F.col("ce"))
+                / (
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("ce"), F.col("ce")))
+                ),
+                6,
+            ).alias("sim_r"),
+        )
+    )
+    return grouped_topk(
+        sims, ["qid"], [F.desc("sim_r"), F.asc("cid")], _TOP_K
     ).select("qid", "cid", "sim_r", "rnk")
 
 

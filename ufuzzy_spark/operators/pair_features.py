@@ -137,7 +137,10 @@ def make_pair_features_udf(pcfg: PipelineConfig, needle_terms: int = 5):
 
 
 def pair_features(
-    pairs: DataFrame, normed: DataFrame, pcfg: PipelineConfig | None = None
+    pairs: DataFrame,
+    normed: DataFrame,
+    pcfg: PipelineConfig | None = None,
+    needle_terms: int = 5,
 ) -> DataFrame:
     """(url_a, url_b) x normed -> full Info-counter features per pair."""
     pcfg = pcfg or PipelineConfig()
@@ -159,7 +162,7 @@ def pair_features(
             "url_b",
         )
     )
-    fu = make_pair_features_udf(pcfg)
+    fu = make_pair_features_udf(pcfg, needle_terms)
     return joined.withColumn("f", fu("norm_a", "norm_b")).select(
         "url_a", "url_b", "f.*"
     )

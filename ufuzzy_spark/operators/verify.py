@@ -71,21 +71,17 @@ def make_verify_udf(pcfg: PipelineConfig):
     @F.pandas_udf(VERIFY_SCHEMA)
     def verify_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
         v = _get_verifier(key)
+        verify = v.verify  # bind once; the batch loop is the hot path
         rows = [
-            v.verify(a if isinstance(a, str) else "", b if isinstance(b, str) else "")
+            verify(a if isinstance(a, str) else "", b if isinstance(b, str) else "")
             for a, b in zip(norm_a, norm_b)
         ]
-        return pd.DataFrame(
-            {
-                "score": [r.score for r in rows],
-                "is_dup": [r.is_dup for r in rows],
-                "terms_a": [r.terms_a for r in rows],
-                "terms_b": [r.terms_b for r in rows],
-                "matched_a": [r.matched_a for r in rows],
-                "matched_b": [r.matched_b for r in rows],
-                "exact": [r.exact for r in rows],
-            }
-        )
+        cols = list(zip(*((r.score, r.is_dup, r.terms_a, r.terms_b,
+                           r.matched_a, r.matched_b, r.exact) for r in rows)))
+        if not cols:
+            cols = [[] for _ in range(7)]
+        names = ("score is_dup terms_a terms_b matched_a matched_b exact").split()
+        return pd.DataFrame(dict(zip(names, cols)))
 
     return verify_udf
 
