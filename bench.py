@@ -54,16 +54,28 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     # headline: full near-dup pipeline over the documents corpus
     pages = docs_as_pages(spark, sf_dir)
-    bench("dedup_pipeline", lambda: run_pipeline(spark, pages).clusters.count())
+
+    def pipeline_once():
+        res = run_pipeline(spark, pages)
+        res.clusters.count()
+        res.unpersist()  # release fences so later queries bench clean
+
+    bench("dedup_pipeline", pipeline_once)
 
     q = entry_queries.queries()
     for name in (
         "fuzzy_filter",
         "fuzzy_filter_ooo",
+        "rank_comparator",
+        "typeahead_rank",
+        "permute_fanout",
+        "refine_match_probe",
+        "single_error",
         "exact_dedup",
         "minhash_signature",
         "lsh_candidate_pairs",
         "ngram_jaccard",
+        "pair_features",
         "dup_clusters",
         "simhash_fingerprint",
         "lang_id",
@@ -73,7 +85,11 @@ def run_suite(spark, sf_dir: str) -> dict:
         "verify_pairs_native",
         "exact_substring_pairs",
         "ann_cosine_topk",
+        "ann_srp_topk",
         "embedding_stats",
+        "tpch_pricing_summary",
+        "tpch_region_revenue",
+        "tpch_top_suppliers",
     ):
         bench(name, lambda n=name: q[n](spark, sf_dir).count())
 

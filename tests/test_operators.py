@@ -73,17 +73,76 @@ def test_ann_lsh_topk_smoke_on_testdata(spark):
 
 # -- multimodal plumbing ---------------------------------------------- #
 
+def _png(w, h):
+    import struct
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00")
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _webp_vp8l(w, h):
+    import struct
+    bits = (w - 1) | ((h - 1) << 14)
+    body = b"\x2f" + struct.pack("<I", bits)[:4]
+    return b"RIFF" + struct.pack("<I", 12 + len(body)) + b"WEBPVP8L" \
+        + struct.pack("<I", len(body)) + body
+
+
+def _bmp(w, h):
+    import struct
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 4
+
+
+def test_parse_image_header_real_formats():
+    """Header decode is REAL (no codec library): each container's
+    documented width/height fields must round-trip exactly."""
+    from ufuzzy_spark.multimodal.decode import parse_image_header
+
+    cases = [
+        (_png(640, 480), ("png", 640, 480)),
+        (_gif(320, 200), ("gif", 320, 200)),
+        (_jpeg(1920, 1080), ("jpeg", 1920, 1080)),
+        (_webp_vp8l(800, 600), ("webp", 800, 600)),
+        (_bmp(256, 128), ("bmp", 256, 128)),
+        (b"not an image at all", ("unknown", 0, 0)),
+        (b"", ("unknown", 0, 0)),
+        (b"\x89PNG\r\n\x1a\n", ("unknown", 0, 0)),  # truncated
+    ]
+    for payload, want in cases:
+        assert parse_image_header(payload) == want, want
+
+
 def test_multimodal_decode_schema_and_determinism(spark):
     from ufuzzy_spark.multimodal.decode import decode_images
 
-    rows = [("u%d" % i, bytes([i]) * (100 + i)) for i in range(20)]
+    rows = [
+        ("png1", _png(64, 32)),
+        ("gif1", _gif(10, 20)),
+        ("jpg1", _jpeg(300, 150)),
+        ("webp1", _webp_vp8l(77, 88)),
+        ("junk", bytes(150)),
+    ]
     df = spark.createDataFrame(rows, ["url", "payload"])
     out = decode_images(df).collect()
-    assert len(out) == 20
+    assert len(out) == 5
     by_url = {r.url: r for r in out}
-    assert by_url["u3"].n_bytes == 103
-    assert by_url["u3"].format in ("jpeg", "png", "webp")
-    # deterministic: same payload -> same fake dims
+    assert (by_url["png1"].format, by_url["png1"].width, by_url["png1"].height) == ("png", 64, 32)
+    assert (by_url["jpg1"].width, by_url["jpg1"].height) == (300, 150)
+    assert (by_url["webp1"].width, by_url["webp1"].height) == (77, 88)
+    assert by_url["junk"].format == "unknown"
+    assert by_url["junk"].n_bytes == 150
     out2 = {r.url: r for r in decode_images(df).collect()}
     assert all(
         (out2[u].width, out2[u].height) == (r.width, r.height)

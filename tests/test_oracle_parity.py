@@ -237,3 +237,80 @@ def test_parity_random_fuzz_corpora():
                     f"{case['needle']} {opts} info[{key}]"
                 )
             assert order == expected["order"], case["needle"]
+
+
+UNI_WORDS = (
+    "café cafe naïve naive żółć zolc crème creme "
+    "東京 大阪 tokyo ōsaka señor senor "
+    "smile😀face star⭐light plain word mix123"
+).split()
+
+
+def test_parity_unicode_flag_and_letters_alias():
+    """opts.unicode=true (uFuzzy.mjs:23-24,167: the /u regex flag) and
+    the `letters` alias for `alpha` (uFuzzy.mjs:152). Python strings
+    are codepoint-based, matching JS /u semantics, so idxs/order must
+    agree on any corpus. info start/ranges are compared only for
+    BMP-only corpora: JS counts UTF-16 code units, Python counts
+    codepoints — an indexing-unit divergence on astral chars
+    (documented in oracle.py), not a matching divergence."""
+    rng = random.Random(7)
+    corpus = [
+        " ".join(rng.choice(UNI_WORDS) for _ in range(rng.randint(1, 5)))
+        for _ in range(120)
+    ]
+    bmp_only = [s for s in corpus if all(ord(c) < 0x10000 for c in s)]
+    needles = ["cafe", "café", "naive", "zolc", "tokyo", "senor", "mix", "word"]
+
+    cases = []
+    for needle in needles:
+        for cfg in ({"unicode": True}, {"unicode": True, "intraIns": 1},
+                    {"letters": "a-zéīōàñüżółć"}):
+            cases.append({"haystack": corpus, "needle": needle,
+                          "opts": {**cfg, "compare": "plain"}, "outOfOrder": 0})
+            cases.append({"haystack": bmp_only, "needle": needle,
+                          "opts": {**cfg, "compare": "plain"}, "outOfOrder": 0})
+    ref = run_reference(cases)
+
+    for c, e in zip(cases, ref):
+        assert "error" not in e, (c["needle"], e)
+        uf = UFuzzyOracle(to_match_config(
+            {k: v for k, v in c["opts"].items() if k != "compare"}))
+        uf.compare = lambda a, b: (a > b) - (a < b)
+        idxs, info, order = uf.search(c["haystack"], c["needle"])
+        assert (idxs or []) == (e["idxs"] or []), (c["needle"], c["opts"])
+        # start/ranges (and therefore the start-keyed rank order) are
+        # UTF-16-unit-indexed in JS vs codepoint-indexed in Python, so
+        # they are compared only where the corpus is BMP-only
+        if c["haystack"] is bmp_only:
+            if e.get("order") is not None:
+                assert order == e["order"], (c["needle"], c["opts"])
+            if e.get("info"):
+                for key in INFO_KEYS:
+                    assert info[key] == e["info"][key], (c["needle"], key)
+
+
+def test_intra_filt_hook_discards_matches():
+    """opts.intraFilt (uFuzzy.mjs:67,656-659): unconditional per-term
+    predicate on (term, matched_group_lower, idx_acc); returning False
+    discards the match. JSON can't ship a JS closure to the node
+    harness, so semantics are pinned directly: rejecting any fuzzy
+    (longer-than-term) group must keep only exact-group matches."""
+    from ufuzzy_spark.config import MatchConfig
+    from ufuzzy_spark.oracle import UFuzzyOracle
+
+    hay = ["cat", "cxat", "the cat sat", "ca t"]
+    uf = UFuzzyOracle(MatchConfig(intraIns=1))
+    idxs = uf.filter(hay, "cat")
+    base = uf.info(idxs, hay, "cat")
+    assert base["idx"] == [0, 1, 2]  # cxat matches via 1 insert
+
+    uf2 = UFuzzyOracle(MatchConfig(intraIns=1))
+    seen = []
+    def only_exact(term, group, idx):
+        seen.append((term, group, idx))
+        return group == term
+    uf2.intra_filt = only_exact
+    strict = uf2.info(idxs, hay, "cat")
+    assert strict["idx"] == [0, 2]
+    assert ("cat", "cxat", 0) in seen

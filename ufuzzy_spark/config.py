@@ -32,6 +32,9 @@ class MatchConfig:
 
     unicode: bool = False
     alpha: str | None = None
+    # `letters` is the reference's newer alias for `alpha`
+    # (uFuzzy.mjs:152: `opts.letters ?? opts.alpha`)
+    letters: str | None = None
 
     # term segmentation & punct/whitespace merging (uFuzzy.mjs:29-31)
     interSplit: str = "[^A-Za-z\\d']+"
@@ -71,6 +74,7 @@ class MatchConfig:
         return MatchConfig(
             **{
                 **asdict(self),
+                "alpha": self.letters if self.letters is not None else self.alpha,
                 "intraIns": m if self.intraIns is None else self.intraIns,
                 "intraSub": m if self.intraSub is None else self.intraSub,
                 "intraTrn": m if self.intraTrn is None else self.intraTrn,

@@ -1630,25 +1630,30 @@ def q_ann_cosine_topk(spark, sf_dir):
 # replay candidate generation bit-for-bit; the production kernel is
 # the NumPy SRP in operators/ann.py (lsh_topk), whose recall is pinned
 # by tests/test_operators.py on clustered synthetic vectors.
+#
+# Spark computes the planes ONCE in Python (identical md5 formula) and
+# broadcasts them as a 32-row dim table — the sign test is then one
+# zip_with fold per (vector, plane), never an md5 inside a lambda.
+# DuckDB recomputes the same planes inline at runtime (cheap there).
+# Cross-engine value identity: float(h) FIRST (both engines cast the
+# 60-bit int to double before dividing), then exact power-of-two
+# division and the same subtraction.
 _SRP_BANDS = 4
 _SRP_BITS = 8
 _2P59 = "576460752303423488.0"  # 2^59: h60 -> [-1, 1) plane component
 
-_SRP_BUCKETS_SPARK = f"""
-transform(sequence(0, {_SRP_BANDS - 1}), b ->
-  aggregate(sequence(0, {_SRP_BITS - 1}),
-            shiftleft(CAST(b AS BIGINT), 32), (acc, k) ->
-    acc + IF(
-      aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (s, i) ->
-        s + CAST(embedding[i] AS DOUBLE) *
-            (CAST(conv(substr(md5(concat('srp|', b * {_SRP_BITS} + k, '|', i)),
-                       1, 15), 16, 10) AS BIGINT)
-             / {_2P59}D - 1.0D)
-      ) > 0.0D,
-      shiftleft(1L, k), 0L)
-  )
-)
-"""
+
+def _srp_plane(p: int, i: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"srp|{p}|{i}".encode()).hexdigest()[:15], 16)
+    return float(h) / 576460752303423488.0 - 1.0
+
+
+_SRP_PLANES = [
+    [_srp_plane(p, i) for i in range(64)]
+    for p in range(_SRP_BANDS * _SRP_BITS)
+]
 
 _SRP_BUCKETS_SQL = f"""
 list_transform(range({_SRP_BANDS}), b ->
@@ -1660,6 +1665,44 @@ list_transform(range({_SRP_BANDS}), b ->
     )) > 0 THEN (1::BIGINT << k) ELSE 0 END))::BIGINT
 )
 """
+
+
+def _srp_buckets_df(spark, e: DataFrame) -> DataFrame:
+    """(vec_id, bkt) — one row per (vector, band); bkt packs the band
+    id above the sign bits so same-band matching is implicit."""
+    planes = spark.createDataFrame(
+        [
+            (p // _SRP_BITS, p % _SRP_BITS, _SRP_PLANES[p])
+            for p in range(_SRP_BANDS * _SRP_BITS)
+        ],
+        "band int, k int, plane array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("plane"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    bits = e.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "band", "k", (dot > 0).alias("bit")
+    )
+    return (
+        bits.groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.when(F.col("bit"), F.expr("shiftleft(1L, k)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("bbits")
+        )
+        .select(
+            "vec_id",
+            (
+                F.expr("shiftleft(CAST(band AS BIGINT), 32)") + F.col("bbits")
+            ).alias("bkt"),
+        )
+    )
 
 _ANN_SRP_SQL = f"""
     WITH sigs AS (
@@ -1705,16 +1748,11 @@ def q_ann_srp_topk(spark, sf_dir):
     from ufuzzy_spark.operators.topk import grouped_topk
 
     e = _embs(spark, sf_dir)
-    sigs = e.select(
-        "vec_id", "embedding", F.expr(_SRP_BUCKETS_SPARK).alias("buckets")
+    buckets = _srp_buckets_df(spark, e)
+    qb = buckets.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "bkt"
     )
-    qb = (
-        sigs.where(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.explode("buckets").alias("bkt"))
-    )
-    cb = sigs.select(
-        F.col("vec_id").alias("cid"), F.explode("buckets").alias("bkt")
-    )
+    cb = buckets.select(F.col("vec_id").alias("cid"), "bkt")
     cand = (
         cb.join(F.broadcast(qb), "bkt")
         .where(F.col("qid") != F.col("cid"))

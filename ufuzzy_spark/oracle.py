@@ -190,6 +190,10 @@ class UFuzzyOracle:
         # rank tiebreak collation (uFuzzy.mjs:18,151); override-able like
         # the reference's opts.compare (dist/uFuzzy.d.ts:170)
         self.compare = collate_cmp
+        # per-term user predicate hook (uFuzzy.mjs:67,656-659): called
+        # with (term, matched_group_lower, idx_acc) for every term of
+        # every surviving match; returning False discards the match
+        self.intra_filt = lambda term, group, idx: True
 
     # -- tokenize ---------------------------------------------------- #
 
@@ -577,6 +581,10 @@ class UFuzzyOracle:
                     intra += group_len - term_len
                 if j > 0:
                     inter += len(m[k - 1])
+                # unconditional per-term user filter (uFuzzy.mjs:656-659)
+                if not self.intra_filt(term, group, idx_acc):
+                    disc = True
+                    break
                 if j < parts_len - 1:
                     idx_acc += group_len + len(m[k + 1])
                 k += 2
