@@ -314,3 +314,101 @@ def test_srp_lsh_ann_recall_on_clustered_vectors(spark):
         len(truth[k] & got.get(k, set())) / len(truth[k]) for k in truth
     ) / len(truth)
     assert recall >= 0.95, recall
+
+
+# -- grouped suffix-array pass ----------------------------------------- #
+
+def _lcs_pairs_oracle(urls, texts, k):
+    """Exhaustive oracle: pair shares a >=k substring iff their k-gram
+    sets intersect."""
+    grams = [
+        {t[i: i + k] for i in range(len(t) - k + 1)} for t in texts
+    ]
+    out = set()
+    for i in range(len(urls)):
+        for j in range(i + 1, len(urls)):
+            if grams[i] & grams[j]:
+                out.add(tuple(sorted((urls[i], urls[j]))))
+    return out
+
+
+def test_suffix_array_group_pairs_match_exhaustive_oracle():
+    """group_substring_pairs (prefix-doubling SA + Kasai LCP) must
+    emit exactly the pairs sharing a >= min_len substring."""
+    import random
+
+    from ufuzzy_spark.operators.suffix_array import group_substring_pairs
+
+    rng = random.Random(5)
+    alpha = "abcdef "
+    shared = ["".join(rng.choice(alpha) for _ in range(40)) for _ in range(4)]
+    urls, texts = [], []
+    for i in range(30):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(50, 200)))
+        if rng.random() < 0.6:
+            s = rng.choice(shared)
+            pos = rng.randrange(len(body))
+            body = body[:pos] + s + body[pos:]
+        urls.append(f"u{i:02d}")
+        texts.append(body)
+
+    for min_len in (20, 40):
+        got = group_substring_pairs(urls, texts, min_len, max_run_docs=999)
+        want = _lcs_pairs_oracle(urls, texts, min_len)
+        assert got == want, (min_len, got ^ want)
+
+
+def test_suffix_array_star_degradation_preserves_connectivity():
+    from ufuzzy_spark.operators.suffix_array import group_substring_pairs
+
+    shared = "x" * 64
+    urls = [f"u{i}" for i in range(12)]
+    # distinct single-char tails, no separators: the ONLY >=64-char
+    # common substring between any two docs is the x-run itself
+    texts = [shared + chr(65 + i) for i in range(12)]
+    pairs = group_substring_pairs(urls, texts, 64, max_run_docs=5)
+    # star: hub u0 connects all 11 others; no quadratic 66-pair blowup
+    assert len(pairs) == 11
+    nodes = {u for p in pairs for u in p}
+    assert nodes == set(urls)
+    assert all("u0" in p for p in pairs)
+
+
+def test_suffix_array_pairs_spark_matches_pure(spark):
+    """suffix_array_pairs (applyInPandas) == the pure per-group
+    function, and groups are never cross-compared."""
+    import random
+
+    from ufuzzy_spark.operators.suffix_array import (
+        group_substring_pairs,
+        suffix_array_pairs,
+    )
+
+    rng = random.Random(11)
+    shared = "the quick brown fox jumps over the lazy dog " * 2
+    rows = []
+    for g in range(4):
+        for i in range(12):
+            body = "".join(rng.choice("abcdef ") for _ in range(150))
+            if i % 3 == 0:
+                body += shared  # same shared text in EVERY group
+            rows.append((f"g{g}u{i:02d}", f"grp{g}", body))
+    normed = spark.createDataFrame(
+        [(u, t) for u, _, t in rows], "url string, norm_text string"
+    )
+    groups = spark.createDataFrame(
+        [(u, g) for u, g, _ in rows], "url string, group_id string"
+    )
+    got = {
+        (r.url_a, r.url_b)
+        for r in suffix_array_pairs(normed, groups, min_len=64).collect()
+    }
+    want = set()
+    for g in range(4):
+        sub = [(u, t) for u, gg, t in rows if gg == f"grp{g}"]
+        want |= group_substring_pairs(
+            [u for u, _ in sub], [t for _, t in sub], 64
+        )
+    assert got == want and got
+    # cross-group pairs must NOT appear despite identical shared text
+    assert all(a[:2] == b[:2] for a, b in got)

@@ -885,6 +885,59 @@ def q_exact_substring_pairs(spark, sf_dir):
     )
 
 
+# grouped suffix-array pass (north_star's suffix-array branch;
+# operators/suffix_array.py). Groups here are an arbitrary
+# deterministic co-grouping (doc_id % 20) — in the pipeline they are
+# LSH buckets/clusters. Oracle: within-group k-gram intersection is
+# exactly "shares a >= k common substring".
+_SA_MINLEN = 64
+_SA_GROUPS = 20
+
+_SA_PAIRS_SQL = f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, (doc_id % {_SA_GROUPS}) AS group_id,
+               substr(norm, i, {_SA_MINLEN}) AS gram
+        FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents) d
+        CROSS JOIN LATERAL unnest(
+            generate_series(1, greatest(length(norm) - {_SA_MINLEN - 1}, 0))
+        ) AS t(i)
+        WHERE length(norm) >= {_SA_MINLEN}
+    )
+    SELECT DISTINCT a.doc_id AS url_a, b.doc_id AS url_b
+    FROM grams a JOIN grams b
+      ON a.gram = b.gram AND a.group_id = b.group_id
+     AND a.doc_id < b.doc_id
+"""
+
+
+@register("suffix_array_pairs", _SA_PAIRS_SQL)
+def q_suffix_array_pairs(spark, sf_dir):
+    """Per-group exhaustive long-exact-substring pairs via one suffix
+    array per group (prefix-doubling SA + Kasai LCP inside
+    applyInPandas; operators/suffix_array.py). The DuckDB oracle
+    states the same set declaratively as a within-group k-gram
+    self-join. Complements the global sampled winnowing pass
+    (operators/substring.py)."""
+    from ufuzzy_spark.operators.suffix_array import suffix_array_pairs
+
+    d = _docs(spark, sf_dir)
+    # zero-padded string ids: the operator's url ordering (string) must
+    # agree with the oracle's numeric doc_id < doc_id pair orientation
+    uid = F.format_string("%09d", "doc_id")
+    normed = d.select(uid.alias("url"), norm_col().alias("norm_text"))
+    groups = d.select(
+        uid.alias("url"), (F.col("doc_id") % _SA_GROUPS).alias("group_id")
+    )
+    # max_run_docs high: the oracle is the exhaustive (uncapped) set
+    pairs = suffix_array_pairs(
+        normed, groups, min_len=_SA_MINLEN, max_run_docs=10**6
+    )
+    return pairs.select(
+        F.col("url_a").cast("long").alias("url_a"),
+        F.col("url_b").cast("long").alias("url_b"),
+    )
+
+
 # ---------------------------------------------------------------- #
 # 8. dup clusters — LSH cands -> jaccard verify -> connected comps
 # ---------------------------------------------------------------- #
