@@ -91,3 +91,39 @@ def test_single_error_config_e2e_recall(spark, fixture_dir):
     assert total > 50
     recall = hit / total
     assert recall >= 0.99, f"SingleError-config recall {recall:.4f} ({hit}/{total})"
+
+
+def test_zip_only_import_isolation(tmp_path):
+    """The --py-files zip must be importable WITHOUT the repo checkout
+    on sys.path (north-rule packaging; submit_pipeline.py's repo-root
+    insert must be a convenience, not a requirement)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run(
+        ["bash", str(repo / "scripts" / "package.sh")],
+        check=True,
+        capture_output=True,
+    )
+    zip_path = repo / "dist" / "ufuzzy_spark.zip"
+    probe = (
+        "import sys; sys.path = [p for p in sys.path if 'repo' not in p]; "
+        f"sys.path.insert(0, {str(zip_path)!r}); "
+        "import ufuzzy_spark.pipeline, ufuzzy_spark.oracle, "
+        "ufuzzy_spark.operators.lsh, ufuzzy_spark.operators.suffix_array, "
+        "ufuzzy_spark.streaming.incremental, fixtures.gen; "
+        "from ufuzzy_spark.config import MatchConfig; "
+        "from ufuzzy_spark.oracle import UFuzzyOracle; "
+        "assert UFuzzyOracle(MatchConfig()).filter(['a cat'], 'cat') == [0]; "
+        "print('zip-import-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # neutral cwd: no implicit repo imports
+    )
+    assert out.returncode == 0, out.stderr
+    assert "zip-import-ok" in out.stdout

@@ -96,6 +96,14 @@ def run_pipeline(
         .persist()
     )
     persisted.append(normed)
+    if checkpoint_dir is None:
+        # FORCE the cache now: the verify job reads normed through
+        # THREE concurrent subplans (exact-dedup chain, verify texts
+        # x2); tasks racing past an unpopulated persist recompute the
+        # normalize+repartition of the whole corpus a nondeterministic
+        # number of times — measured as 312s..568s run-to-run variance
+        # on the 1M corpus at local[16]. One cheap count() pins it.
+        normed.count()
 
     # 2. exact-hash pre-dedup: strips identical-content mass before LSH
     exact_edges_l, reps_l = exact_dedup(normed)
@@ -109,6 +117,15 @@ def run_pipeline(
             "url", "minhash", "bag_minhash", "simhash"
         ),
     )
+    if checkpoint_dir is None:
+        # FORCE: all_buckets unions char-band and bag-band postings —
+        # two plan branches over sigs — and the salted two-phase cap
+        # reads the bucket plan twice more; unfenced, the signature
+        # Arrow UDF recomputes up to 4x inside the verify job (the
+        # dominant stage cost at 1M docs)
+        sigs = sigs.persist()
+        sigs.count()
+        persisted.append(sigs)
 
     # 4. LSH candidates (one shuffle + distinct). Optional SimHash
     # Hamming-ball postings union in as a recall backstop (the band
@@ -122,6 +139,12 @@ def run_pipeline(
         return candidate_pairs(buckets, pcfg)
 
     cands = runner.materialize("candidate_pairs", _cands)
+    if checkpoint_dir is None:
+        # FORCE: pairs = capped-bucket expansion UNION star overflow —
+        # both branches re-derive the bucket window from sigs
+        cands = cands.persist()
+        cands.count()
+        persisted.append(cands)
 
     # 5. bounded-edit verification (precision pass)
     verified = runner.materialize(
