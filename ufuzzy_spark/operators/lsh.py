@@ -93,7 +93,9 @@ def candidate_pairs(
     # Overflow within a salt group degrades to star edges against the
     # salt-group min; salt mins survive to phase 2, whose bucket star
     # connects them — overflow -> salt_min -> bucket_min keeps
-    # connectivity with bounded (linear) work.
+    # connectivity with bounded (linear) work. The window (not a
+    # collect_list) is deliberate: raw bucket sizes are unbounded and
+    # the window sort spills.
     salted = buckets.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(n_salt))
     )
@@ -102,56 +104,67 @@ def candidate_pairs(
     salt_ranked = salted.withColumn("srn", F.row_number().over(w_salt)).withColumn(
         "salt_min", F.min("url").over(w_salt_all)
     )
-    pre = salt_ranked.where(F.col("srn") <= cap).drop("salt", "srn", "salt_min")
-    salt_star = (
-        salt_ranked.where(F.col("srn") > cap)
-        .select(F.col("salt_min").alias("url_a"), F.col("url").alias("url_b"))
-        .where(F.col("url_a") != F.col("url_b"))
+
+    # SINGLE-BRANCH plan from here (was: three union branches that
+    # recomputed the phase-1 window 3x and a phase-2 window 2x). Every
+    # phase-1 row becomes one item; salt-overflow rows carry their
+    # finished star edge and ride through phase 2 as SINGLETON groups
+    # (subkey = own url), so no aggregation buffer is ever unbounded:
+    # member groups hold <= n_salt * cap survivor urls, star groups
+    # hold exactly one edge.
+    items = salt_ranked.select(
+        "band_id",
+        "band_hash",
+        F.when(F.col("srn") <= cap, F.lit("")).otherwise(F.col("url")).alias(
+            "subkey"
+        ),
+        F.when(F.col("srn") <= cap, F.col("url")).alias("m_url"),
+        F.when(
+            (F.col("srn") > cap) & (F.col("salt_min") != F.col("url")),
+            F.struct(
+                F.col("salt_min").alias("url_a"), F.col("url").alias("url_b")
+            ),
+        ).alias("salt_star"),
+    )
+    grouped = items.groupBy("band_id", "band_hash", "subkey").agg(
+        F.sort_array(F.collect_list("m_url")).alias("urls"),
+        F.first("salt_star", ignorenulls=True).alias("salt_star"),
     )
 
-    # phase 2: global per-bucket ranking on the bounded survivors
-    # (at most S*cap rows per bucket key reach this window)
-    w = Window.partitionBy("band_id", "band_hash").orderBy("url")
-    ranked = pre.withColumn("rn", F.row_number().over(w)).withColumn(
-        "bucket_min", F.min("url").over(Window.partitionBy("band_id", "band_hash"))
-    )
-
-    # full pairwise expansion for capped bucket members (narrow after
-    # the window shuffle): groupBy on the same keys reuses partitioning
-    in_cap = ranked.where(F.col("rn") <= cap)
-    grouped = in_cap.groupBy("band_id", "band_hash").agg(
-        F.sort_array(F.collect_list("url")).alias("urls")
-    )
+    # phase 2 inside the group: survivors sorted ascending == the old
+    # per-bucket row_number order; first `cap` expand quadratically,
+    # the rest degrade to star edges on the bucket min (cap/degrade,
+    # uFuzzy.mjs:830-833)
+    kept = F.slice(F.col("urls"), 1, cap)
     pair_expr = F.flatten(
         F.transform(
-            F.col("urls"),
+            kept,
             lambda x, i: F.transform(
-                F.slice(
-                    F.col("urls"), i + 2, F.greatest(F.size("urls") - i - 1, F.lit(0))
-                ),
+                F.slice(kept, i + 2, F.greatest(F.size(kept) - i - 1, F.lit(0))),
                 lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
             ),
         )
     )
-    quad_pairs = (
-        grouped.where(F.size("urls") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.url_a", "p.url_b")
+    over_expr = F.transform(
+        F.slice(
+            F.col("urls"),
+            cap + 1,
+            F.greatest(F.size("urls") - cap, F.lit(0)),
+        ),
+        lambda o: F.struct(
+            F.element_at(F.col("urls"), 1).alias("url_a"), o.alias("url_b")
+        ),
     )
-
-    # overflow members: star edges to the bucket representative —
-    # bounded-linear instead of quadratic (cap/degrade, uFuzzy.mjs:830-833)
-    star_pairs = (
-        ranked.where(F.col("rn") > cap)
-        .select(
-            F.col("bucket_min").alias("url_a"), F.col("url").alias("url_b")
-        )
-        .where(F.col("url_a") != F.col("url_b"))
+    # each component is naturally empty when inapplicable (slices of
+    # length 0 / a null-filtered singleton), so types always line up
+    emit = F.concat(
+        pair_expr,
+        over_expr,
+        F.filter(F.array(F.col("salt_star")), lambda s: s.isNotNull()),
     )
-
     return (
-        quad_pairs.unionByName(star_pairs)
-        .unionByName(salt_star)
+        grouped.select(F.explode(emit).alias("p"))
+        .select("p.url_a", "p.url_b")
         .dropDuplicates(["url_a", "url_b"])
     )
 

@@ -44,14 +44,28 @@ def incremental_dedup(
     pcfg = pcfg or PipelineConfig()
     win = 2 * pcfg.verify_window_chars
 
-    new_normed = normalize(new_pages.where(F.col("lang") == "en"), pcfg.match)
+    # persist+count fences (same discipline as pipeline.run_pipeline):
+    # this function runs FIVE actions (CC iterations + four catalog
+    # writes) over shared subplans — unfenced, the normalize and
+    # signature UDF chains recompute once per action
+    fences: list[DataFrame] = []
+
+    def fence(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        df.count()
+        fences.append(df)
+        return df
+
+    new_normed = fence(
+        normalize(new_pages.where(F.col("lang") == "en"), pcfg.match)
+    )
     # exact-dup members don't proceed to LSH — keep their star edges
     # (cross-batch exact dups still pair via identical band hashes)
     new_exact_edges, new_reps = exact_dedup(new_normed)
     new_sigs = signatures(new_reps, pcfg).select(
         "url", "minhash", "bag_minhash", "simhash"
     )
-    new_bands = all_buckets(new_sigs, pcfg)
+    new_bands = fence(all_buckets(new_sigs, pcfg))
 
     new_norm_slim = new_normed.select(
         "url", F.substring("norm_text", 1, win).alias("norm_text"), "warc_ts"
@@ -104,6 +118,8 @@ def incremental_dedup(
         all_edges = old_edges.unionByName(new_edges).dropDuplicates(
             ["url_a", "url_b"]
         )
+    # consumed by CC (iterative) AND the edges snapshot write
+    all_edges = fence(all_edges)
 
     all_nodes = texts.select("url")
     clusters = connected_components(all_edges, all_nodes=all_nodes)
@@ -116,4 +132,7 @@ def incremental_dedup(
     catalog.write(texts, "normed")
     catalog.write(all_edges, "edges")
     catalog.write(clusters, "clusters")
-    return clusters
+    out = catalog.read(spark, "clusters")
+    for df in fences:
+        df.unpersist()
+    return out
