@@ -62,35 +62,11 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     bench("dedup_pipeline", pipeline_once)
 
+    # EVERY driver entry query is benched (VERDICT r2 #4: nine keys
+    # were historically missing, so r01/r02 perf diffs were blind on
+    # them) — iterate the registry so new entries join automatically.
     q = entry_queries.queries()
-    for name in (
-        "fuzzy_filter",
-        "fuzzy_filter_ooo",
-        "rank_comparator",
-        "typeahead_rank",
-        "permute_fanout",
-        "refine_match_probe",
-        "single_error",
-        "exact_dedup",
-        "minhash_signature",
-        "lsh_candidate_pairs",
-        "ngram_jaccard",
-        "pair_features",
-        "dup_clusters",
-        "simhash_fingerprint",
-        "lang_id",
-        "quality_score",
-        "token_count",
-        "doc_fingerprint",
-        "verify_pairs_native",
-        "exact_substring_pairs",
-        "ann_cosine_topk",
-        "ann_srp_topk",
-        "embedding_stats",
-        "tpch_pricing_summary",
-        "tpch_region_revenue",
-        "tpch_top_suppliers",
-    ):
+    for name in q:
         bench(name, lambda n=name: q[n](spark, sf_dir).count())
 
     return timings

@@ -28,16 +28,31 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def measure(master_cores: int, input_path: str, warmup_path: str) -> dict:
+def measure(
+    master_cores: int,
+    input_path: str,
+    warmup_path: str,
+    local_dir: str | None = None,
+) -> dict:
     from pyspark.sql import functions as F
 
     from ufuzzy_spark.pipeline import run_pipeline
     from ufuzzy_spark.session import get_spark
 
+    conf = {"spark.ui.enabled": "false"}
+    if local_dir:
+        # shuffle/spill off the single shared virtio disk: on a real
+        # cluster every executor brings its OWN local disk, so 4N
+        # executors have 4x aggregate shuffle bandwidth; the sandbox
+        # collapses all "executors" onto one device whose aggregate
+        # write throughput is FLAT in writer count (measured: 711 MB/s
+        # at 4 writers, 662 at 16 — BENCH/BASELINE.md). A tmpfs
+        # local dir restores per-executor-local-storage semantics.
+        conf["spark.local.dir"] = local_dir
     spark = get_spark(
         f"ufuzzy-scaling-{master_cores}",
         master=f"local[{master_cores}]",
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf=conf,
     )
     try:
         # warmup: spin up Python UDF workers + JIT on a small slice
@@ -68,6 +83,12 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--out-md", default="BENCH/BASELINE.md")
+    ap.add_argument(
+        "--local-dir",
+        default=None,
+        help="spark.local.dir for shuffle/spill (tmpfs, e.g. "
+        "/dev/shm/ufz_spark_local, stands in for per-executor disks)",
+    )
     args = ap.parse_args()
 
     from fixtures.gen import write_fixtures
@@ -85,8 +106,10 @@ def main() -> None:
         write_fixtures(warm_dir, 2000, label_pairs=False)
     warmup_path = str(warm_dir / "pages.parquet")
 
-    low = measure(args.low, input_path, warmup_path)
-    high = measure(args.high, input_path, warmup_path)
+    if args.local_dir:
+        Path(args.local_dir).mkdir(parents=True, exist_ok=True)
+    low = measure(args.low, input_path, warmup_path, args.local_dir)
+    high = measure(args.high, input_path, warmup_path, args.local_dir)
 
     ratio = high["docs_per_sec"] / low["docs_per_sec"]
     eff = ratio / (args.high / args.low)
@@ -109,7 +132,14 @@ def main() -> None:
         f"Input: {input_path} ({low['docs']} docs); same job "
         f"(`run_pipeline`), fresh SparkSession per level, warmed "
         f"Python workers. local[{args.low}] vs local[{args.high}] "
-        f"stand in for N vs 4N executors (no real cluster in sandbox).",
+        f"stand in for N vs 4N executors (no real cluster in sandbox)."
+        + (
+            f" spark.local.dir={args.local_dir} (tmpfs — shuffle/spill "
+            f"off the shared virtio disk, restoring per-executor-"
+            f"local-storage semantics)."
+            if args.local_dir
+            else ""
+        ),
         "",
         "| parallelism | wall (s) | docs/sec | clusters |",
         "|---|---|---|---|",

@@ -80,7 +80,8 @@ def test_single_error_fixture_fresh():
 
     live = pd.DataFrame(expected_rows())
     stored = pd.read_parquet(OUT)
+    keys = ["corpus_key", "needle", "doc_id"]
     pd.testing.assert_frame_equal(
-        live.sort_values(["needle", "doc_id"], ignore_index=True),
-        stored.sort_values(["needle", "doc_id"], ignore_index=True),
+        live.sort_values(keys, ignore_index=True),
+        stored.sort_values(keys, ignore_index=True),
     )

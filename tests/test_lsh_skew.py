@@ -71,3 +71,54 @@ def test_simhash_hamming_ball_recall(spark):
     assert ("near0", "near1") in pairs
     assert ("near0", "near3") in pairs
     assert not any("far" in p for p in pairs if ("near0" in p))
+
+
+def test_banded_udf_path_matches_legacy_band_buckets(spark, fixture_dir):
+    """The r3 production path (band hashes folded inside the signature
+    UDF, one posexplode) must produce the SAME candidate pairs as the
+    legacy signatures + all_buckets JVM-slicing path: equal signature
+    band slices give equal hashes under both schemes, so candidate
+    sets differ only on ~2^-64 hash collisions."""
+    from ufuzzy_spark.operators.lsh import (
+        all_buckets,
+        candidate_pairs,
+        postings_from_band_hashes,
+    )
+    from ufuzzy_spark.operators.minhash import banded_signatures, signatures
+    from ufuzzy_spark.operators.normalize import normalize
+
+    pcfg = PipelineConfig()
+    pages = spark.read.parquet(str(fixture_dir / "pages.parquet"))
+    normed = normalize(pages.where("lang='en'")).select("url", "norm_text")
+
+    legacy = candidate_pairs(all_buckets(signatures(normed, pcfg), pcfg), pcfg)
+    banded = candidate_pairs(
+        postings_from_band_hashes(banded_signatures(normed, pcfg), pcfg), pcfg
+    )
+    l = {(r.url_a, r.url_b) for r in legacy.collect()}
+    b = {(r.url_a, r.url_b) for r in banded.collect()}
+    assert l == b, (len(l), len(b), l ^ b)
+
+
+def test_postings_band_id_spaces_match_legacy(spark, fixture_dir):
+    """Posting positions must map to the same disjoint band-id spaces
+    as band_buckets (char 0..bands-1, bag 2000..), and per-url posting
+    counts must match."""
+    from ufuzzy_spark.operators.lsh import postings_from_band_hashes
+    from ufuzzy_spark.operators.minhash import banded_signatures
+    from ufuzzy_spark.operators.normalize import normalize
+
+    pcfg = PipelineConfig()
+    pages = spark.read.parquet(str(fixture_dir / "pages.parquet"))
+    normed = (
+        normalize(pages.where("lang='en'"))
+        .select("url", "norm_text")
+        .limit(20)
+    )
+    posts = postings_from_band_hashes(banded_signatures(normed, pcfg), pcfg)
+    ids = sorted(r.band_id for r in posts.select("band_id").distinct().collect())
+    assert ids == list(range(pcfg.bands)) + [
+        2000 + i for i in range(pcfg.bag_bands)
+    ]
+    per_url = posts.groupBy("url").count().collect()
+    assert all(r["count"] == pcfg.bands + pcfg.bag_bands for r in per_url)

@@ -412,3 +412,29 @@ def test_suffix_array_pairs_spark_matches_pure(spark):
     assert got == want and got
     # cross-group pairs must NOT appear despite identical shared text
     assert all(a[:2] == b[:2] for a, b in got)
+
+
+def test_adjacent_lcp_matches_kasai():
+    """The vectorized rank-level LCP descent must equal Kasai's
+    per-character reference on random and pathological inputs."""
+    import numpy as np
+
+    from ufuzzy_spark.operators.suffix_array import (
+        adjacent_lcp,
+        build_suffix_array,
+        kasai_lcp,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 4, size=300).astype(np.int64),       # repetitive
+        rng.randint(0, 1000, size=257).astype(np.int64),    # diverse
+        np.ones(100, dtype=np.int64),                        # degenerate run
+        np.array([5], dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    ]
+    for codes in cases:
+        sa, levels = build_suffix_array(codes, keep_levels=True)
+        got = adjacent_lcp(sa, levels)
+        want = kasai_lcp(codes, sa)
+        assert np.array_equal(got, want), (codes[:20], got, want)

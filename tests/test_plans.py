@@ -42,15 +42,18 @@ def test_projection_prunes_scan_schema(spark, fixture_dir):
 
 def test_pipeline_has_no_cartesian_and_uses_codegen(spark, fixture_dir):
     from ufuzzy_spark.operators.dedup import exact_dedup
-    from ufuzzy_spark.operators.lsh import all_buckets, candidate_pairs
-    from ufuzzy_spark.operators.minhash import signatures
+    from ufuzzy_spark.operators.lsh import (
+        candidate_pairs,
+        postings_from_band_hashes,
+    )
+    from ufuzzy_spark.operators.minhash import banded_signatures
     from ufuzzy_spark.operators.normalize import normalize
 
     pages = spark.read.parquet(str(fixture_dir / "pages.parquet"))
     normed = normalize(pages.where("lang='en'"))
     _, reps = exact_dedup(normed)
-    sigs = signatures(reps).select("url", "minhash", "bag_minhash")
-    cands = candidate_pairs(all_buckets(sigs))
+    sigs = banded_signatures(reps).select("url", "band_hashes")
+    cands = candidate_pairs(postings_from_band_hashes(sigs))
     # AQE wraps everything in AdaptiveSparkPlan and hides codegen spans
     # until runtime — inspect the static plan with AQE off
     spark.conf.set("spark.sql.adaptive.enabled", "false")

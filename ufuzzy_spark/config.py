@@ -112,6 +112,11 @@ class PipelineConfig:
     bag_rows: int = 8
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
+    # bumped when the persisted signature-stage layout changes (r3:
+    # band hashes folded in the UDF; the "signatures" checkpoint is now
+    # (url, band_hashes, simhash)) — invalidates stale resume state
+    # via config_hash
+    sig_stage_version: int = 2
     # candidate generation hygiene
     max_bucket_size: int = 200         # bigger buckets -> overflow path
     salt_buckets: int = 8              # salt fan-out for hot band keys

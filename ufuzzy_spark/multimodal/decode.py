@@ -79,10 +79,20 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int]:
                     i += 1
                     continue
                 marker = p[i + 1]
+                if marker == 0xFF:
+                    i += 1  # fill byte — next byte may be the marker
+                    continue
+                if marker == 0x00:
+                    i += 2  # stuffed 0xFF00 data byte, not a marker
+                    continue
+                if marker in (0xDA, 0xD9):
+                    break  # SOS/EOI: entropy data / end — no SOF ahead
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers, no length
                     continue
                 seg_len = _be(p[i + 2 : i + 4])
+                if seg_len < 2:
+                    break  # malformed length — bail rather than misparse
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     return "jpeg", _be(p[i + 7 : i + 9]), _be(p[i + 5 : i + 7])
                 i += 2 + seg_len

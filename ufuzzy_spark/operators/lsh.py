@@ -72,6 +72,32 @@ def all_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFram
     return char_b.unionByName(bag_b)
 
 
+def postings_from_band_hashes(
+    banded: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """(url, band_hashes) -> (url, band_id, band_hash). Narrow.
+
+    The production posting generator: band hashes were already folded
+    inside the signature UDF (minhash.banded_signatures), so this is a
+    single posexplode — no signature slicing, no per-band hashing.
+    Positions < pcfg.bands are char bands (band_id = pos); the rest
+    are bag bands (band_id = 2000 + pos - bands), matching
+    band_buckets' disjoint id spaces.
+    """
+    pcfg = pcfg or PipelineConfig()
+    nb = pcfg.bands
+    return banded.select(
+        "url", F.posexplode("band_hashes").alias("pos", "band_hash")
+    ).select(
+        "url",
+        F.when(F.col("pos") < nb, F.col("pos"))
+        .otherwise(F.col("pos") - nb + 2000)
+        .cast("int")
+        .alias("band_id"),
+        "band_hash",
+    )
+
+
 def candidate_pairs(
     buckets: DataFrame, pcfg: PipelineConfig | None = None
 ) -> DataFrame:

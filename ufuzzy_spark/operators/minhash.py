@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ufuzzy_spark.config import PipelineConfig
-from ufuzzy_spark.functions.hashing import all_signatures
+from ufuzzy_spark.functions.hashing import all_band_hashes, all_signatures
 
 
 SIG_SCHEMA = StructType(
@@ -46,6 +46,60 @@ def make_signatures_udf(pcfg: PipelineConfig):
         )
 
     return signatures_udf
+
+
+BANDED_SCHEMA = StructType(
+    [
+        StructField("band_hashes", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+def make_banded_signatures_udf(pcfg: PipelineConfig):
+    """Signature UDF emitting LSH band hashes directly (VERDICT r2 #2:
+    the JVM per-row transform+slice+xxhash64 band hashing was the one
+    stage scaling below target, 0.65 at 4→16/1M — folding the bands
+    inside the NumPy kernel removes the allocation AND shrinks the
+    Arrow exchange from num_perm+bag_num_perm to bands+bag_bands longs
+    per doc)."""
+    k, num_perm, bag_perm = pcfg.shingle_k, pcfg.num_perm, pcfg.bag_num_perm
+    bands, rows = pcfg.bands, pcfg.rows_per_band
+    bag_bands, bag_rows = pcfg.bag_bands, pcfg.bag_rows
+
+    @F.pandas_udf(BANDED_SCHEMA)
+    def banded_udf(texts: pd.Series) -> pd.DataFrame:
+        bh, sh = all_band_hashes(
+            texts.fillna("").tolist(),
+            k,
+            num_perm,
+            bag_perm,
+            bands,
+            rows,
+            bag_bands,
+            bag_rows,
+        )
+        return pd.DataFrame({"band_hashes": list(bh), "simhash": sh})
+
+    return banded_udf
+
+
+def banded_signatures(
+    normed: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """normed(url, norm_text, ...) -> (url, band_hashes, simhash).
+
+    The production signature stage: same recall semantics as
+    ``signatures`` + ``lsh.all_buckets`` (equal signature band slices
+    give equal band hashes), one narrow Arrow crossing, no JVM
+    signature re-slicing. band_hashes[i] is char band i for i < bands,
+    bag band i-bands after (lsh.postings_from_band_hashes maps
+    positions to the 0 / 2000+ band-id spaces)."""
+    pcfg = pcfg or PipelineConfig()
+    su = make_banded_signatures_udf(pcfg)
+    return normed.select("url", su(F.col("norm_text")).alias("sig")).select(
+        "url", "sig.band_hashes", "sig.simhash"
+    )
 
 
 def signatures(normed: DataFrame, pcfg: PipelineConfig | None = None) -> DataFrame:

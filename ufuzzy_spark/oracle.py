@@ -182,8 +182,9 @@ class UFuzzyOracle:
         # bounded compile cache: PairVerifier/pair_features call
         # prep_query once per distinct corpus term, so an unbounded
         # dict grows for the executor's lifetime on large vocabularies
-        # (ADVICE r1). FIFO eviction at the cap is enough — the hot
-        # vocabulary re-inserts itself immediately.
+        # (ADVICE r1). LRU (hits refresh recency, ADVICE r2): with a
+        # steady-state vocabulary slightly above the cap, FIFO would
+        # evict hot keys just before reuse each scan round.
         self._query_cache: dict = {}
         self._query_cache_max = 65536
 
@@ -261,7 +262,11 @@ class UFuzzyOracle:
         """uFuzzy.mjs:250-392 → (compiled re, parts, contrs) or None."""
         key = (needle, capt, inter_or)
         if key in self._query_cache:
-            return self._query_cache[key]
+            # refresh recency (move-to-end): dict preserves insertion
+            # order, so the eviction victim is always the LRU key
+            out = self._query_cache.pop(key)
+            self._query_cache[key] = out
+            return out
         out = self._prep_query(needle, capt, inter_or)
         if len(self._query_cache) >= self._query_cache_max:
             self._query_cache.pop(next(iter(self._query_cache)))

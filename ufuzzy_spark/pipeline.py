@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 from ufuzzy_spark.config import PipelineConfig
 from ufuzzy_spark.operators.components import connected_components, elect_canonical
 from ufuzzy_spark.operators.dedup import exact_dedup
-from ufuzzy_spark.operators.lsh import all_buckets, candidate_pairs
-from ufuzzy_spark.operators.minhash import signatures
+from ufuzzy_spark.operators.lsh import candidate_pairs, postings_from_band_hashes
+from ufuzzy_spark.operators.minhash import banded_signatures
 from ufuzzy_spark.operators.normalize import normalize
 from ufuzzy_spark.operators.verify import verify_pairs
 
@@ -110,19 +110,21 @@ def run_pipeline(
     reps = runner.materialize("reps", lambda: reps_l)
     exact_edges = runner.materialize("exact_edges", lambda: exact_edges_l)
 
-    # 3. signatures over representatives only (narrow, Arrow UDFs)
+    # 3. signatures over representatives only (narrow, Arrow UDFs) —
+    # band hashes are folded INSIDE the UDF (minhash.banded_signatures)
+    # so only bands+bag_bands longs/doc cross Arrow and the JVM never
+    # re-slices signature arrays (the 0.65-scaling stage of round 2)
     sigs = runner.materialize(
         "signatures",
-        lambda: signatures(reps, pcfg).select(
-            "url", "minhash", "bag_minhash", "simhash"
+        lambda: banded_signatures(reps, pcfg).select(
+            "url", "band_hashes", "simhash"
         ),
     )
     if checkpoint_dir is None:
-        # FORCE: all_buckets unions char-band and bag-band postings —
-        # two plan branches over sigs — and the salted two-phase cap
-        # reads the bucket plan twice more; unfenced, the signature
-        # Arrow UDF recomputes up to 4x inside the verify job (the
-        # dominant stage cost at 1M docs)
+        # FORCE: the salted two-phase cap reads the posting plan
+        # multiple times — unfenced, the signature Arrow UDF recomputes
+        # up to 4x inside the verify job (the dominant stage cost at
+        # 1M docs)
         sigs = sigs.persist()
         sigs.count()
         persisted.append(sigs)
@@ -131,7 +133,7 @@ def run_pipeline(
     # Hamming-ball postings union in as a recall backstop (the band
     # trick over fingerprint chunks shares the same bucket machinery).
     def _cands():
-        buckets = all_buckets(sigs, pcfg)
+        buckets = postings_from_band_hashes(sigs, pcfg)
         if use_simhash_candidates:
             from ufuzzy_spark.operators.lsh import simhash_chunk_buckets
 

@@ -23,8 +23,8 @@ from ufuzzy_spark.catalog import LocalParquetCatalog
 from ufuzzy_spark.config import PipelineConfig
 from ufuzzy_spark.operators.components import connected_components
 from ufuzzy_spark.operators.dedup import exact_dedup
-from ufuzzy_spark.operators.lsh import all_buckets
-from ufuzzy_spark.operators.minhash import signatures
+from ufuzzy_spark.operators.lsh import postings_from_band_hashes
+from ufuzzy_spark.operators.minhash import banded_signatures
 from ufuzzy_spark.operators.normalize import normalize
 from ufuzzy_spark.operators.verify import verify_pairs
 
@@ -62,10 +62,8 @@ def incremental_dedup(
     # exact-dup members don't proceed to LSH — keep their star edges
     # (cross-batch exact dups still pair via identical band hashes)
     new_exact_edges, new_reps = exact_dedup(new_normed)
-    new_sigs = signatures(new_reps, pcfg).select(
-        "url", "minhash", "bag_minhash", "simhash"
-    )
-    new_bands = fence(all_buckets(new_sigs, pcfg))
+    new_sigs = banded_signatures(new_reps, pcfg).select("url", "band_hashes")
+    new_bands = fence(postings_from_band_hashes(new_sigs, pcfg))
 
     new_norm_slim = new_normed.select(
         "url", F.substring("norm_text", 1, win).alias("norm_text"), "warc_ts"
