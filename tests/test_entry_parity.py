@@ -1,7 +1,14 @@
 """Emulate the driver's correctness gate: every queries() entry vs its
-oracle_sql() under DuckDB at sf0.01 — row count, schema (column
-names), and order-insensitive exact values must match.
+oracle_sql() under DuckDB — row count, schema (column names), and
+order-insensitive exact values must match.
+
+The sweep runs at sf0.01 (the driver's scale) AND sf0.1 (VERDICT r2
+#8: oracles must not silently pin one scale — the single_error
+fixture is corpus-keyed for exactly this). Set UFZ_PARITY_SF to
+restrict, e.g. UFZ_PARITY_SF=0.01 for a quick local pass.
 """
+
+import os
 
 import duckdb
 import pandas as pd
@@ -10,20 +17,30 @@ import pytest
 import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.01"
+_SF_FILTER = os.environ.get("UFZ_PARITY_SF")
+SF_DIRS = [
+    d
+    for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    if _SF_FILTER is None or d.endswith("sf" + _SF_FILTER)
+]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
 
 
-@pytest.fixture(scope="module")
-def con():
+@pytest.fixture(
+    scope="module",
+    params=SF_DIRS,
+    ids=[d.rsplit("/", 1)[-1] for d in SF_DIRS],
+)
+def sf_con(request):
     c = duckdb.connect()
     for t in TABLES:
         c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{request.param}/{t}.parquet'"
         )
-    return c
+    return request.param, c
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -45,10 +62,11 @@ QUERIES = sorted(entry.queries().keys())
 
 
 @pytest.mark.parametrize("name", QUERIES)
-def test_query_matches_oracle(spark, con, name):
+def test_query_matches_oracle(spark, sf_con, name):
+    sf_dir, con = sf_con
     q = entry.queries()[name]
     oracles = entry.oracle_sql()
-    sdf = q(spark, SF_DIR).toPandas()
+    sdf = q(spark, sf_dir).toPandas()
     assert len(sdf) > 0 or name in ("lsh_candidate_pairs",), f"{name}: empty result"
 
     if name not in oracles:
@@ -85,3 +103,27 @@ def test_single_error_fixture_fresh():
         live.sort_values(keys, ignore_index=True),
         stored.sort_values(keys, ignore_index=True),
     )
+
+
+def test_image_fixture_fresh():
+    """The checked-in image fixture + expected table must match a live
+    regeneration from the generator (generator INTENT is the oracle)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from gen_image_fixture import FIX_DIR, build_rows
+
+    payloads, expected = build_rows()
+    stored_pay = pd.read_parquet(FIX_DIR / "images.parquet")
+    stored_exp = pd.read_parquet(FIX_DIR / "images_expected.parquet")
+    live_pay = pd.DataFrame(payloads)
+    live_exp = pd.DataFrame(expected)
+    assert list(stored_pay["url"]) == list(live_pay["url"])
+    assert all(
+        bytes(a) == bytes(b)
+        for a, b in zip(stored_pay["payload"], live_pay["payload"])
+    )
+    le = live_exp.astype(object).where(pd.notna(live_exp), None)
+    se = stored_exp.astype(object).where(pd.notna(stored_exp), None)
+    assert le.values.tolist() == se.values.tolist()

@@ -198,6 +198,47 @@ def test_incremental_matches_batch(spark, tmp_path):
     assert inc == batch
 
 
+def test_incremental_matches_batch_under_bucket_cap(spark, tmp_path):
+    """Regression (round 3): with buckets over max_bucket_size, the
+    salted-cap star-overflow expansion is not incrementally
+    decomposable — the round-2 'new x all band join' diverged from
+    batch exactly here. The rewrite reruns the SAME capped generator
+    over cumulative state, so equality must hold under a tiny cap, and
+    snapshot 2 must never re-verify an old x old pair."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.config import PipelineConfig
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pcfg = PipelineConfig(max_bucket_size=2, salt_buckets=2)
+    pages, _ = gen_corpus(300, seed=11, label_pairs=False)
+    full = spark.createDataFrame(pages)
+
+    batch_res = run_pipeline(spark, full, pcfg=pcfg)
+    batch = {
+        (r.url, r.cluster_id)
+        for r in batch_res.clusters.select("url", "cluster_id").collect()
+    }
+    batch_res.unpersist()
+
+    cat = LocalParquetCatalog(tmp_path / "inc_cap")
+    half = len(pages) // 2
+    incremental_dedup(spark, cat, spark.createDataFrame(pages[:half]), pcfg=pcfg)
+    stats: dict = {}
+    inc_clusters = incremental_dedup(
+        spark, cat, spark.createDataFrame(pages[half:]), pcfg=pcfg,
+        stats_out=stats,
+    )
+    inc = {(r.url, r.cluster_id) for r in inc_clusters.collect()}
+
+    assert inc == batch
+    assert stats["old_x_old_reverified"] == 0
+    # memoization is real: snapshot 2 verifies strictly fewer pairs
+    # than it generates (old x old candidates hit the verdict cache)
+    assert stats["pairs_verified"] < stats["cand_pairs"]
+
+
 def test_pair_features_counters_match_oracle(spark):
     """pair_features must emit exactly what oracle.info computes for
     the same needle/haystack (exercises the Arrow plumbing)."""
@@ -438,3 +479,103 @@ def test_adjacent_lcp_matches_kasai():
         got = adjacent_lcp(sa, levels)
         want = kasai_lcp(codes, sa)
         assert np.array_equal(got, want), (codes[:20], got, want)
+
+
+def test_pixel_decode_round_trip():
+    """decode_pixels must exactly invert a spec-conformant PNG encoder
+    (all 5 filter types) and our own BMP encoder; make_thumbnail must
+    produce the nearest-neighbor stride downsample; codec-requiring
+    formats must return None (honest gap)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ufuzzy_spark.multimodal.decode import (
+        decode_pixels,
+        encode_bmp,
+        make_thumbnail,
+        parse_image_header,
+    )
+
+    rng = np.random.RandomState(0)
+
+    def png_bytes(px, color_type, filters):
+        h, w, ch = px.shape
+        raw = bytearray()
+        prev = np.zeros((w, ch), dtype=np.int16)
+        for y in range(h):
+            ft = filters[y % len(filters)]
+            line = px[y].astype(np.int16)
+            if ft == 0:
+                enc = line
+            elif ft == 1:
+                enc = line.copy()
+                enc[1:] -= line[:-1]
+            elif ft == 2:
+                enc = line - prev
+            elif ft == 3:
+                enc = np.empty_like(line)
+                for x in range(w):
+                    for c in range(ch):
+                        left = int(px[y, x - 1, c]) if x > 0 else 0
+                        enc[x, c] = int(line[x, c]) - (
+                            (left + int(prev[x, c])) >> 1
+                        )
+            else:  # paeth
+                enc = np.empty_like(line)
+                for x in range(w):
+                    for c in range(ch):
+                        a = int(px[y, x - 1, c]) if x > 0 else 0
+                        b = int(prev[x, c])
+                        cc = (
+                            int(px[y - 1, x - 1, c])
+                            if (y > 0 and x > 0)
+                            else 0
+                        )
+                        p = a + b - cc
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                        pred = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else cc)
+                        )
+                        enc[x, c] = int(line[x, c]) - pred
+            raw.append(ft)
+            raw += (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    px = rng.randint(0, 256, size=(23, 17, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_pixels(png_bytes(px, 2, [0, 1, 2, 3, 4])), px
+    )
+    px4 = rng.randint(0, 256, size=(9, 11, 4)).astype(np.uint8)
+    assert np.array_equal(
+        decode_pixels(png_bytes(px4, 6, [4, 3, 2, 1, 0])), px4[:, :, :3]
+    )
+    pxg = rng.randint(0, 256, size=(8, 5, 1)).astype(np.uint8)
+    assert np.array_equal(
+        decode_pixels(png_bytes(pxg, 0, [1, 2])), np.repeat(pxg, 3, axis=2)
+    )
+    bmp = encode_bmp(px)
+    assert parse_image_header(bmp) == ("bmp", 17, 23)
+    assert np.array_equal(decode_pixels(bmp), px)
+    thumb = make_thumbnail(png_bytes(px, 2, [0]), 8)  # step 3 -> 8x6
+    assert np.array_equal(decode_pixels(thumb), px[::3, ::3])
+    assert make_thumbnail(b"\xff\xd8\xff\xe0junk", 8) is None

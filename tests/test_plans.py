@@ -96,7 +96,7 @@ def test_no_unpartitioned_windows_in_entry_plans(spark):
 
     # queries that run eager jobs at plan-construction time (iterative
     # CC checkpoints / lineage writes) are pinned by their own e2e tests
-    eager = {"dup_clusters", "resume_lineage"}
+    eager = {"dup_clusters", "resume_lineage", "incremental_ingest"}
     for name, fn in entry.queries().items():
         if name in eager:
             continue

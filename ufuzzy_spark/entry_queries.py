@@ -1887,3 +1887,143 @@ def q_embedding_stats(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.round(F.avg(norm), 6).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------- #
+# 17. multimodal image decode (SURVEY §2 LLM-pipeline components)
+# ---------------------------------------------------------------- #
+
+_IMG_FIXTURE = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "images.parquet"
+)
+_IMG_EXPECTED = str(
+    Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "images_expected.parquet"
+)
+
+
+@register(
+    "image_metadata",
+    f"""
+    -- oracle = generator-INTENT expected table (the single_error
+    -- pattern, VERDICT r2 #6): the dimensions each container was
+    -- built with, sha1 over the payload bytes, and 54+4-aligned-rows
+    -- BMP arithmetic for the thumbnail size — all computed in
+    -- scripts/gen_image_fixture.py independently of the decode code
+    -- under test (staleness-guarded by tests/test_entry_parity.py).
+    SELECT url, format, width, height, n_bytes, content_sha1,
+           thumb_n_bytes
+    FROM read_parquet('{_IMG_EXPECTED}')
+    """,
+)
+def q_image_metadata(spark, sf_dir):
+    """Multimodal decode over binary payloads (multimodal/decode.py):
+    mapInPandas header parse (PNG IHDR / JPEG SOF walk / GIF LSD /
+    WebP VP8* / BMP DIB) + REAL pixel decode and BMP-thumbnail
+    re-encode for PNG/BMP; codec-requiring formats carry NULL thumbs.
+    Exercises the Arrow batch shape, binary columns, and nullable
+    output schema end-to-end."""
+    from ufuzzy_spark.multimodal.decode import decode_images
+
+    imgs = spark.read.parquet(_IMG_FIXTURE)
+    return decode_images(imgs).select(
+        "url",
+        "format",
+        "width",
+        "height",
+        "n_bytes",
+        "content_sha1",
+        F.length("thumb").cast("int").alias("thumb_n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 18. incremental ingest over catalog snapshots (SURVEY §2 #14;
+#     streaming/incremental.py)
+# ---------------------------------------------------------------- #
+
+
+@register(
+    "incremental_ingest",
+    """
+    -- resume_lineage pattern (VERDICT r2 #5): the relational values
+    -- are recomputed here; the two invariant rows are PROVEN by the
+    -- Spark side actually running streaming/incremental.py twice at
+    -- query time — a broken new x all pairing or an incremental-vs-
+    -- batch divergence flips them to 0 and the hash gate goes red.
+    SELECT 'docs_total' AS metric, count(*)::BIGINT AS value FROM documents
+    UNION ALL
+    SELECT 'snap1_docs', count(*)::BIGINT FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'snap2_docs', count(*)::BIGINT FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'old_x_old_reverified', 0
+    UNION ALL
+    SELECT 'incremental_equals_batch', 1
+    """,
+)
+def q_incremental_ingest(spark, sf_dir):
+    """Incremental dedup over two catalog snapshots: snapshot 1 = even
+    doc_ids, snapshot 2 = odd. Runs the production incremental path
+    (content-hash-memoized signatures + verification; relational
+    stages recomputed with the batch operators) and pins two
+    invariants the oracle asserts: zero old x old pairs re-VERIFIED in
+    snapshot 2 (the expensive stages stay O(new)), and final clusters
+    equal to a single batch run_pipeline over the union — exact under
+    the production bucket cap, because candidate generation reruns the
+    same capped operator over cumulative state (the prefixCache reuse
+    idea at pipeline scale, demos/compare.html:562-601)."""
+    import shutil
+    import tempfile
+
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.format_string("%07d", "doc_id")).alias(
+            "url"
+        ),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+        F.col("doc_id"),
+    )
+    snap1 = pages.where(F.col("doc_id") % 2 == 0).drop("doc_id")
+    snap2 = pages.where(F.col("doc_id") % 2 == 1).drop("doc_id")
+    n1, n2 = snap1.count(), snap2.count()
+
+    tmp = tempfile.mkdtemp(prefix="ufz_incr_entry_")
+    try:
+        cat = LocalParquetCatalog(tmp)
+        incremental_dedup(spark, cat, snap1)
+        stats: dict = {}
+        final = incremental_dedup(spark, cat, snap2, stats_out=stats)
+        inc_clusters = {
+            (r.url, r.cluster_id)
+            for r in final.select("url", "cluster_id").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch_res = run_pipeline(spark, pages.drop("doc_id"))
+    batch_clusters = {
+        (r.url, r.cluster_id)
+        for r in batch_res.clusters.select("url", "cluster_id").collect()
+    }
+    batch_res.unpersist()
+
+    rows = [
+        ("docs_total", n1 + n2),
+        ("snap1_docs", n1),
+        ("snap2_docs", n2),
+        ("old_x_old_reverified", int(stats["old_x_old_reverified"])),
+        (
+            "incremental_equals_batch",
+            1 if inc_clusters == batch_clusters else 0,
+        ),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")

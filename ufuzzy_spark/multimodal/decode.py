@@ -6,9 +6,12 @@ shape, partition sizing) is real and tested, and so is the metadata
 decode: ``parse_image_header`` reads format/width/height straight
 from the container headers (PNG IHDR, JPEG SOF markers, GIF logical
 screen, WebP VP8/VP8L/VP8X, BMP DIB) in pure Python — no image
-library needed. Only PIXEL decoding (the thumbnail re-encode) still
-needs a codec; ``_resize_stub`` stands in for it and is the one
-remaining stub, clearly marked.
+library needed. PIXEL decoding is real for PNG (zlib inflate +
+scanline unfilter, ``decode_pixels``) and BMP (24/32-bit DIB rows);
+thumbnails are nearest-neighbor downsamples re-encoded as 24-bit BMP
+(``make_thumbnail``). JPEG/GIF/WebP entropy decoding needs a codec
+this container doesn't ship — those formats carry a NULL thumb (an
+honest gap, not a stub).
 """
 
 from __future__ import annotations
@@ -112,10 +115,144 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int]:
     return "unknown", 0, 0
 
 
-def _resize_stub(payload: bytes, max_dim: int) -> bytes:
-    """STUB resize: truncate payload deterministically (stand-in for a
-    real thumbnail encode). Keeps the bytes-in/bytes-out contract."""
-    return payload[: max_dim * 16]
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §6: none/sub/up/average/
+    paeth). Rows are processed top-down; sub is a per-lane modular
+    cumsum (vectorized), average/paeth keep the per-pixel recurrence."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int16)
+        up = out[y - 1].astype(np.int16) if y > 0 else np.zeros(stride, np.int16)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # sub: modular prefix-sum per byte lane
+            lanes = line.reshape(w, ch)
+            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
+        elif ft == 2:  # up
+            rec = line + up
+        elif ft == 3:  # average
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + ((int(left) + int(up[x])) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                c = int(out[y - 1, x - ch]) if (y > 0 and x >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter {ft}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL pixel decode to an (h, w, 3) uint8 RGB array — pure
+    Python/NumPy, no codec library.
+
+    Supported: PNG (8-bit gray/truecolor/RGBA, non-interlaced; zlib
+    IDAT inflate + scanline unfilter) and BMP (24/32-bit uncompressed,
+    top-down or bottom-up). JPEG/GIF/WebP entropy decoding needs a
+    codec this container doesn't have — those return None and the
+    thumbnail column is null (an honest gap, not a fake)."""
+    import struct
+    import zlib
+
+    p = payload
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            # walk chunks: IHDR geometry + concatenated IDAT
+            w = h = 0
+            bit_depth = color_type = interlace = -1
+            idat = bytearray()
+            i = 8
+            while i + 8 <= len(p):
+                ln = _be(p[i : i + 4])
+                tag = p[i + 4 : i + 8]
+                body = p[i + 8 : i + 8 + ln]
+                if tag == b"IHDR":
+                    w, h = _be(body[0:4]), _be(body[4:8])
+                    bit_depth, color_type = body[8], body[9]
+                    interlace = body[12]
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                i += 12 + ln
+            ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+            if not (w and h) or ch is None or bit_depth != 8 or interlace:
+                return None
+            raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+            if raw.size != h * (w * ch + 1):
+                return None
+            px = _png_unfilter(raw, h, w, ch)
+            if ch == 1:
+                return np.repeat(px, 3, axis=2)
+            return np.ascontiguousarray(px[:, :, :3])
+
+        if p[:2] == b"BM" and len(p) >= 54:
+            data_off = _le(p[10:14])
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            h_raw = int.from_bytes(p[22:26], "little", signed=True)
+            bpp = _le(p[28:30])
+            compression = _le(p[30:34])
+            if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+                return None
+            h = abs(h_raw)
+            nch = bpp // 8
+            stride = ((w * nch + 3) // 4) * 4
+            need = data_off + stride * h
+            if need > len(p):
+                return None
+            rows = np.frombuffer(
+                p[data_off : data_off + stride * h], dtype=np.uint8
+            ).reshape(h, stride)
+            px = rows[:, : w * nch].reshape(h, w, nch)
+            if h_raw > 0:
+                px = px[::-1]  # bottom-up storage
+            # BGR(A) -> RGB
+            return np.ascontiguousarray(px[:, :, 2::-1])
+    except (IndexError, ValueError, struct.error, zlib.error):
+        return None
+    return None
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Deterministic 24-bit BMP writer for thumbnails (the one
+    container writable without a codec)."""
+    import struct
+
+    h, w = px.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def make_thumbnail(payload: bytes, max_dim: int) -> bytes | None:
+    """Real thumbnail: decode pixels, nearest-neighbor stride
+    downsample to fit max_dim, re-encode as 24-bit BMP. None when the
+    format's pixel decode is unsupported (see decode_pixels)."""
+    px = decode_pixels(payload)
+    if px is None or px.size == 0:
+        return None
+    h, w = px.shape[:2]
+    step = max(1, (max(h, w) + max_dim - 1) // max_dim)
+    return encode_bmp(np.ascontiguousarray(px[::step, ::step]))
 
 
 def decode_images(
@@ -152,7 +289,7 @@ def decode_images(
                         for p in payloads
                     ],
                     "thumb": [
-                        _resize_stub(bytes(p), thumb_max_dim)
+                        make_thumbnail(bytes(p), thumb_max_dim)
                         if p is not None
                         else None
                         for p in payloads

@@ -83,11 +83,15 @@ def build_suffix_array(
         tmp[cur] = np.cumsum(newgrp)
         rank, tmp = tmp.copy(), rank
         if keep_levels:
-            # COPY: tmp becomes the scratch buffer next round — storing
-            # `rank` itself would let the in-place re-rank writes of the
-            # next iteration corrupt this level (same aliasing class as
-            # the np.asarray note above)
-            levels.append((2 * k, rank.copy()))
+            # COPY (and downcast): tmp becomes the scratch buffer next
+            # round — storing `rank` itself would let the in-place
+            # re-rank writes of the next iteration corrupt this level
+            # (same aliasing class as the np.asarray note above).
+            # int32 halves the sparse table: total level memory is
+            # ~4*n*log2(n) bytes per group (one applyInPandas task), so
+            # group text size, not corpus size, bounds it — a 1M-char
+            # group holds ~80 MB of levels.
+            levels.append((2 * k, rank.astype(np.int32)))
         if rank[order[-1]] == n - 1:
             return (order, levels) if keep_levels else order
         k *= 2

@@ -66,16 +66,24 @@ def _pcfg_tuple(pcfg: PipelineConfig):
 
 
 def make_verify_udf(pcfg: PipelineConfig):
+    import os
+
     key = _pcfg_tuple(pcfg)
+    # A/B switch for the batch-level vectorized fast path (VERDICT r2
+    # #3); captured driver-side into the closure so both paths ship
+    # identical configs. Decision + measurement: BENCH/BASELINE.md.
+    use_batch = os.environ.get("UFZ_VERIFY_BATCH", "0") == "1"
 
     @F.pandas_udf(VERIFY_SCHEMA)
     def verify_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
         v = _get_verifier(key)
-        verify = v.verify  # bind once; the batch loop is the hot path
-        rows = [
-            verify(a if isinstance(a, str) else "", b if isinstance(b, str) else "")
-            for a, b in zip(norm_a, norm_b)
-        ]
+        a_clean = [a if isinstance(a, str) else "" for a in norm_a]
+        b_clean = [b if isinstance(b, str) else "" for b in norm_b]
+        if use_batch:
+            rows = v.verify_batch(a_clean, b_clean)
+        else:
+            verify = v.verify  # bind once; the batch loop is the hot path
+            rows = [verify(a, b) for a, b in zip(a_clean, b_clean)]
         cols = list(zip(*((r.score, r.is_dup, r.terms_a, r.terms_b,
                            r.matched_a, r.matched_b, r.exact) for r in rows)))
         if not cols:
