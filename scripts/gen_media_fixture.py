@@ -1,0 +1,224 @@
+"""Generate the multimodal audio/video fixture + its expected table.
+
+The `media_metadata` driver entry runs ufuzzy_spark.multimodal.media
+over fixtures/media.parquet (url, payload); its DuckDB oracle is
+fixtures/media_expected.parquet. Expected values come from GENERATOR
+INTENT — the rates/durations/dimensions each container was built
+with, and NumPy arithmetic over the synthesized PCM — not from the
+decode code under test (the gen_image_fixture pattern).
+
+tests/test_entry_parity.py regenerates both in-memory and fails if
+the checked-in parquets are stale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIX_DIR = Path(__file__).resolve().parent.parent / "fixtures"
+
+
+def wav_pcm16(rate: int, ch: int, samples: np.ndarray) -> bytes:
+    """Minimal RIFF/WAVE writer; samples is (frames, ch) int16."""
+    data = samples.astype("<i2").tobytes()
+    block = 2 * ch
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def flac_streaminfo(rate: int, ch: int, bits: int, total: int) -> bytes:
+    """Header-only fLaC: STREAMINFO (type 0, marked last block)."""
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    body = (
+        struct.pack(">HH", 4096, 4096)
+        + b"\x00" * 6  # min/max frame size unknown
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of raw samples: unset
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def mp3_cbr(
+    kbps_idx: int, audio_bytes: int, id3_pad: int, stereo: bool
+) -> bytes:
+    """ID3v2 tag + one MPEG1 Layer III frame header + CBR filler."""
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+         (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+    ) + b"\x00" * id3_pad
+    hdr = bytes(
+        [0xFF, 0xFB, (kbps_idx << 4) | (0 << 2), 0x00 if stereo else 0xC0]
+    )
+    return id3 + hdr + b"\x00" * (audio_bytes - 4)
+
+
+def ogg_page0(packet: bytes) -> bytes:
+    """Minimal Ogg page 0 wrapping one id-header packet (<256 B)."""
+    return (
+        b"OggS" + b"\x00\x02"  # version 0, BOS flag
+        + b"\x00" * 8  # granule
+        + struct.pack("<II", 0xFEED, 0)  # serial, page seq
+        + b"\x00" * 4  # crc (unchecked by the parser)
+        + bytes([1, len(packet)])  # one lacing segment
+        + packet
+    )
+
+
+def vorbis_id(rate: int, ch: int) -> bytes:
+    return (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
+        + struct.pack("<I", rate) + b"\x00" * 16 + b"\x01"
+    )
+
+
+def opus_head(rate: int, ch: int) -> bytes:
+    return (
+        b"OpusHead" + bytes([1, ch]) + struct.pack("<H", 312)
+        + struct.pack("<I", rate) + struct.pack("<H", 0) + b"\x00"
+    )
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def mp4_moov(timescale: int, duration: int, w: int, h: int) -> bytes:
+    """ftyp + moov(mvhd v0, trak(tkhd v0)) — offsets per ISO 14496-12."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    mvhd_body = bytearray(100)
+    mvhd_body[12:16] = struct.pack(">I", timescale)
+    mvhd_body[16:20] = struct.pack(">I", duration)
+    tkhd_body = bytearray(84)
+    tkhd_body[76:80] = struct.pack(">I", w << 16)  # 16.16 fixed
+    tkhd_body[80:84] = struct.pack(">I", h << 16)
+    moov = _box(
+        b"moov",
+        _box(b"mvhd", bytes(mvhd_body)) + _box(b"trak", _box(b"tkhd", bytes(tkhd_body))),
+    )
+    return ftyp + moov
+
+
+def build_rows() -> tuple[list[dict], list[dict]]:
+    rng = np.random.RandomState(4321)
+    payloads: list[dict] = []
+    expected: list[dict] = []
+
+    def add(url, payload, fmt, dur, rate, ch, w, h, n_samp, peak):
+        payloads.append({"url": url, "payload": payload})
+        expected.append(
+            {
+                "url": url,
+                "format": fmt,
+                "duration_ms": dur,
+                "sample_rate": rate,
+                "channels": ch,
+                "width": w,
+                "height": h,
+                "n_bytes": len(payload),
+                "content_sha1": hashlib.sha1(payload).hexdigest(),
+                "pcm_n_samples": n_samp,
+                "pcm_peak": peak,
+            }
+        )
+
+    # WAV PCM16 (the real-decode path): sine + noise at three shapes
+    for i, (rate, ch, frames, amp) in enumerate(
+        [(8000, 1, 1600, 12000), (44100, 2, 4410, 28000), (16000, 1, 1, 7)]
+    ):
+        t = np.arange(frames * ch, dtype=np.float64).reshape(frames, ch)
+        sig = np.round(amp * np.sin(t / 7.0)) + rng.randint(
+            -3, 4, size=(frames, ch)
+        )
+        sig = np.clip(sig, -32768, 32767).astype(np.int16)
+        add(
+            f"med://wav/{i}", wav_pcm16(rate, ch, sig), "wav",
+            frames * 1000 // rate, rate, ch, 0, 0,
+            frames, int(np.abs(sig.astype(np.int64)).max()),
+        )
+
+    # FLAC STREAMINFO (metadata-only: codec gap -> NULL pcm)
+    add("med://flac/0", flac_streaminfo(48000, 2, 16, 480000), "flac",
+        480000 * 1000 // 48000, 48000, 2, 0, 0, None, None)
+    add("med://flac/1", flac_streaminfo(96000, 8, 24, 123456789), "flac",
+        123456789 * 1000 // 96000, 96000, 8, 0, 0, None, None)
+
+    # MP3: idx 9 = 128 kbps MPEG1 L3 @44100; CBR estimate over
+    # post-ID3 bytes (audio_bytes * 8 // kbps ms — documented estimate)
+    add("med://mp3/0", mp3_cbr(9, 32000, 217, stereo=True), "mp3",
+        32000 * 8 // 128, 44100, 2, 0, 0, None, None)
+    add("med://mp3/1", mp3_cbr(14, 4000, 0, stereo=False), "mp3",
+        4000 * 8 // 320, 44100, 1, 0, 0, None, None)
+
+    # OGG page 0: Vorbis / Opus identification headers (rate+channels
+    # only — duration lives on the last page's granule, not parsed)
+    add("med://ogg/0", ogg_page0(vorbis_id(44100, 2)), "ogg",
+        0, 44100, 2, 0, 0, None, None)
+    add("med://ogg/1", ogg_page0(opus_head(48000, 1)), "ogg",
+        0, 48000, 1, 0, 0, None, None)
+
+    # MP4: mvhd timescale/duration + tkhd 16.16 canvas
+    add("med://mp4/0", mp4_moov(600, 3000, 640, 360), "mp4",
+        3000 * 1000 // 600, 0, 0, 640, 360, None, None)
+    add("med://mp4/1", mp4_moov(90000, 2700000, 1920, 1080), "mp4",
+        2700000 * 1000 // 90000, 0, 0, 1920, 1080, None, None)
+
+    # junk / truncated
+    add("med://junk/0", bytes(rng.randint(1, 255, 61, dtype=np.uint8)),
+        "unknown", 0, 0, 0, 0, 0, None, None)
+    add("med://junk/1", b"RIFF\x04\x00\x00\x00WAVE", "wav",
+        0, 0, 0, 0, 0, None, None)  # no fmt/data chunks -> zeros, no pcm
+    return payloads, expected
+
+
+def main() -> None:
+    payloads, expected = build_rows()
+    FIX_DIR.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(
+            payloads,
+            schema=pa.schema([("url", pa.string()), ("payload", pa.binary())]),
+        ),
+        FIX_DIR / "media.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            expected,
+            schema=pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("format", pa.string()),
+                    ("duration_ms", pa.int64()),
+                    ("sample_rate", pa.int32()),
+                    ("channels", pa.int32()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("n_bytes", pa.int32()),
+                    ("content_sha1", pa.string()),
+                    ("pcm_n_samples", pa.int64()),
+                    ("pcm_peak", pa.int32()),
+                ]
+            ),
+        ),
+        FIX_DIR / "media_expected.parquet",
+    )
+    print(f"wrote {len(payloads)} payloads -> {FIX_DIR}/media.parquet")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Incremental-ingest throughput evidence (round 3).
+
+The incremental design memoizes the Python-heavy stages (signatures,
+verification) by content hash and recomputes the JVM-cheap relational
+stages over cumulative state (docs/PLANS.md "INCREMENTAL INGEST").
+This bench measures the claim that matters at 100 TB: absorbing a new
+snapshot costs a small fraction of a full batch re-run, while
+producing EXACTLY the batch clusters.
+
+Protocol: one seeded corpus of --rows pages, hash-split ~10:1 into
+snapshot 1 / snapshot 2. Measure (same session, warmed workers):
+
+  t_batch   run_pipeline over the full corpus     (the recompute cost)
+  t_snap1   incremental_dedup(snapshot 1)         (initial state build)
+  t_snap2   incremental_dedup(snapshot 2)         (the headline)
+
+then verify inc == batch by symmetric-difference count on
+(url, cluster_id) and report the memo stats (new sigs computed, memo
+misses verified, old x old re-verified — must be 0 or tiny).
+
+Usage:
+    python scripts/incremental_bench.py [--rows 1100000] [--cores 16]
+        [--input PATH.parquet] [--state-dir /dev/shm/ufz_inc_cat]
+        [--local-dir /dev/shm/ufz_spark_local] [--out-md BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_100_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--input", default=None, help="pages parquet to use")
+    ap.add_argument("--state-dir", default="/dev/shm/ufz_inc_cat")
+    ap.add_argument("--local-dir", default="/dev/shm/ufz_spark_local")
+    ap.add_argument("--out-md", default="BENCH/BASELINE.md")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fixtures.gen import write_fixtures
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.session import get_spark
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    if args.input:
+        input_path = args.input
+    else:
+        bench_dir = Path(f"/tmp/ufz_bench_{args.rows}")
+        if not (bench_dir / "pages.parquet").exists():
+            write_fixtures(bench_dir, args.rows, label_pairs=False)
+        input_path = str(bench_dir / "pages.parquet")
+
+    conf = {"spark.ui.enabled": "false"}
+    if args.local_dir:
+        Path(args.local_dir).mkdir(parents=True, exist_ok=True)
+        conf["spark.local.dir"] = args.local_dir
+    spark = get_spark(
+        "ufuzzy-incremental-bench",
+        master=f"local[{args.cores}]",
+        extra_conf=conf,
+    )
+
+    pages = spark.read.parquet(input_path)
+    # deterministic ~10:1 split; dup pairs straddle the cut naturally
+    snap1 = pages.where(F.pmod(F.xxhash64("url"), F.lit(11)) < 10)
+    snap2 = pages.where(F.pmod(F.xxhash64("url"), F.lit(11)) >= 10)
+    n1, n2 = snap1.count(), snap2.count()
+
+    def timed(fn):
+        t0 = time.time()
+        out = fn()
+        return out, round(time.time() - t0, 2)
+
+    # warm Python workers / JIT on a slice so t_batch isn't spin-up
+    run_pipeline(spark, pages.limit(2000)).unpersist()
+
+    batch_res, t_batch = timed(lambda: run_pipeline(spark, pages))
+    batch_clusters = batch_res.clusters.select("url", "cluster_id")
+    batch_clusters = batch_clusters.localCheckpoint()
+    n_batch_clusters = batch_clusters.select("cluster_id").distinct().count()
+    batch_res.unpersist()
+
+    shutil.rmtree(args.state_dir, ignore_errors=True)
+    cat = LocalParquetCatalog(args.state_dir)
+    _, t_snap1 = timed(lambda: incremental_dedup(spark, cat, snap1))
+    stats: dict = {}
+    inc, t_snap2 = timed(
+        lambda: incremental_dedup(spark, cat, snap2, stats_out=stats)
+    )
+
+    inc_clusters = inc.select("url", "cluster_id")
+    sym_diff = (
+        inc_clusters.exceptAll(batch_clusters).count()
+        + batch_clusters.exceptAll(inc_clusters).count()
+    )
+
+    result = {
+        "rows": n1 + n2,
+        "snap1_docs": n1,
+        "snap2_docs": n2,
+        "cores": args.cores,
+        "t_batch_full_sec": t_batch,
+        "t_snap1_sec": t_snap1,
+        "t_snap2_sec": t_snap2,
+        "snap2_speedup_vs_batch": round(t_batch / t_snap2, 2),
+        "snap2_new_docs_per_sec": round(n2 / t_snap2, 1),
+        "clusters": n_batch_clusters,
+        "inc_equals_batch": sym_diff == 0,
+        "stats": stats,
+        "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    print(json.dumps(result))
+    shutil.rmtree(args.state_dir, ignore_errors=True)
+
+    out = Path(args.out_md)
+    lines = [
+        "",
+        f"## Incremental-ingest bench {result['ts']}",
+        "",
+        f"Input: {input_path} ({n1 + n2} docs) hash-split {n1} / {n2}; "
+        f"local[{args.cores}]"
+        + (f", spark.local.dir={args.local_dir} (tmpfs)" if args.local_dir else "")
+        + ". Same-session, warmed workers. `snap2` is the headline: "
+        "the cost of absorbing the new snapshot with signatures + "
+        "verification memoized by content hash (docs/PLANS.md).",
+        "",
+        "| job | wall (s) | note |",
+        "|---|---|---|",
+        f"| batch over all {n1 + n2} | {t_batch} | the recompute cost |",
+        f"| incremental snapshot 1 ({n1}) | {t_snap1} | initial state build + writes |",
+        f"| incremental snapshot 2 (+{n2}) | {t_snap2} | **{result['snap2_speedup_vs_batch']}x cheaper than batch** |",
+        "",
+        f"Clusters: {n_batch_clusters}; incremental == batch on "
+        f"(url, cluster_id): {'YES (symmetric diff 0)' if sym_diff == 0 else f'NO ({sym_diff} rows differ)'}.",
+        f"Snapshot-2 memo stats: {json.dumps(stats)}.",
+        "",
+    ]
+    with out.open("a") as f:
+        f.write("\n".join(lines))
+    print(f"appended to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,3 +127,27 @@ def test_image_fixture_fresh():
     le = live_exp.astype(object).where(pd.notna(live_exp), None)
     se = stored_exp.astype(object).where(pd.notna(stored_exp), None)
     assert le.values.tolist() == se.values.tolist()
+
+
+def test_media_fixture_fresh():
+    """The checked-in audio/video fixture + expected table must match
+    a live regeneration from the generator (intent is the oracle)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from gen_media_fixture import FIX_DIR, build_rows
+
+    payloads, expected = build_rows()
+    stored_pay = pd.read_parquet(FIX_DIR / "media.parquet")
+    stored_exp = pd.read_parquet(FIX_DIR / "media_expected.parquet")
+    live_pay = pd.DataFrame(payloads)
+    live_exp = pd.DataFrame(expected)
+    assert list(stored_pay["url"]) == list(live_pay["url"])
+    assert all(
+        bytes(a) == bytes(b)
+        for a, b in zip(stored_pay["payload"], live_pay["payload"])
+    )
+    le = live_exp.astype(object).where(pd.notna(live_exp), None)
+    se = stored_exp.astype(object).where(pd.notna(stored_exp), None)
+    assert le.values.tolist() == se.values.tolist()

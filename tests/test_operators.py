@@ -150,6 +150,38 @@ def test_multimodal_decode_schema_and_determinism(spark):
     )
 
 
+def test_parse_media_header_real_formats():
+    """Audio/video header decode is REAL: WAV RIFF walk, FLAC
+    STREAMINFO bitfields, MP3 ID3-skip + MPEG frame header, MP4
+    ISO-BMFF box walk — each container's documented fields must
+    round-trip exactly (builders are the generator-intent writers)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import numpy as np
+    from gen_media_fixture import flac_streaminfo, mp3_cbr, mp4_moov, wav_pcm16
+    from ufuzzy_spark.multimodal.media import decode_pcm, parse_media_header
+
+    sig = np.full((800, 2), -321, dtype=np.int16)
+    sig[7, 1] = -32768  # peak must use |int64| (abs(int16 min) overflows)
+    wav = wav_pcm16(16000, 2, sig)
+    assert parse_media_header(wav) == ("wav", 50, 16000, 2, 0, 0)
+    pcm = decode_pcm(wav)
+    assert pcm.shape == (800, 2) and int(np.abs(pcm.astype(np.int64)).max()) == 32768
+
+    assert parse_media_header(flac_streaminfo(44100, 2, 16, 44100 * 61)) == (
+        "flac", 61000, 44100, 2, 0, 0)
+    assert parse_media_header(mp3_cbr(9, 16000, 50, stereo=True)) == (
+        "mp3", 16000 * 8 // 128, 44100, 2, 0, 0)
+    assert parse_media_header(mp4_moov(90000, 450000, 1280, 720)) == (
+        "mp4", 5000, 0, 0, 1280, 720)
+    assert parse_media_header(b"garbage bytes here") == ("unknown", 0, 0, 0, 0, 0)
+    assert parse_media_header(b"") == ("unknown", 0, 0, 0, 0, 0)
+    assert parse_media_header(b"fLaC\x80\x00\x22") == ("unknown", 0, 0, 0, 0, 0)
+    assert decode_pcm(flac_streaminfo(44100, 2, 16, 100)) is None
+
+
 # -- catalog ----------------------------------------------------------- #
 
 def test_catalog_snapshots_and_diff(spark, tmp_path):

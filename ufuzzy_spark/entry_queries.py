@@ -1938,6 +1938,44 @@ def q_image_metadata(spark, sf_dir):
     )
 
 
+_MEDIA_FIXTURE = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "media.parquet"
+)
+_MEDIA_EXPECTED = str(
+    Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "media_expected.parquet"
+)
+
+
+@register(
+    "media_metadata",
+    f"""
+    -- oracle = generator-INTENT expected table (the image_metadata
+    -- pattern): the rates/durations/dimensions each container was
+    -- built with, sha1 over payload bytes, and NumPy arithmetic over
+    -- the synthesized PCM — computed in scripts/gen_media_fixture.py
+    -- independently of the decode code under test (staleness-guarded
+    -- by tests/test_entry_parity.py).
+    SELECT url, format, duration_ms, sample_rate, channels, width,
+           height, n_bytes, content_sha1, pcm_n_samples, pcm_peak
+    FROM read_parquet('{_MEDIA_EXPECTED}')
+    """,
+)
+def q_media_metadata(spark, sf_dir):
+    """Audio/video decode over binary payloads (multimodal/media.py):
+    mapInPandas header parse (WAV RIFF walk / FLAC STREAMINFO
+    bitfields / MP3 ID3-skip + MPEG frame header / MP4 ISO-BMFF box
+    walk) + REAL PCM16 sample decode for WAV (frame count + peak
+    amplitude); compressed codecs carry NULL pcm columns. Exercises
+    binary columns, nullable long/int outputs, and the Arrow batch
+    shape end-to-end."""
+    from ufuzzy_spark.multimodal.media import decode_media
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return decode_media(media)
+
+
 # ---------------------------------------------------------------- #
 # 18. incremental ingest over catalog snapshots (SURVEY §2 #14;
 #     streaming/incremental.py)
