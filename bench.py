@@ -55,6 +55,14 @@ def run_suite(spark, sf_dir: str) -> dict:
     # headline: full near-dup pipeline over the documents corpus
     pages = docs_as_pages(spark, sf_dir)
 
+    # warm Python UDF workers + JIT before timing (MEASUREMENT CHANGE
+    # in round 3: r01/r02 charged cold spin-up to dedup_pipeline —
+    # measured at up to 2x on its sub-minute sf0.1 wall; diffs of
+    # dedup_pipeline across r02 -> r03 reflect this change too)
+    res = run_pipeline(spark, pages.limit(500))
+    res.clusters.count()
+    res.unpersist()
+
     def pipeline_once():
         res = run_pipeline(spark, pages)
         res.clusters.count()
