@@ -16,13 +16,18 @@ import pytest
 
 import __spark_entry__ as entry
 
-SF_DIR = "/root/testdata/sf0.01"
 _SF_FILTER = os.environ.get("UFZ_PARITY_SF")
 SF_DIRS = [
     d
     for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     if _SF_FILTER is None or d.endswith("sf" + _SF_FILTER)
 ]
+# a typo'd/unswept filter (e.g. UFZ_PARITY_SF=0.001) would otherwise
+# empty the parameter set and SKIP the whole correctness gate green
+assert SF_DIRS, (
+    f"UFZ_PARITY_SF={_SF_FILTER!r} matches no parity scale "
+    "(choose 0.01 or 0.1)"
+)
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

@@ -150,6 +150,36 @@ def test_multimodal_decode_schema_and_determinism(spark):
     )
 
 
+def test_verify_batch_parity_with_loop():
+    """The UFZ_VERIFY_BATCH=1 alternate path (pairdup.verify_batch,
+    kept in-tree after the round-3 A/B measured it slower) must stay
+    result-identical to the per-pair loop — in the default literal
+    config AND an intraMode=1 config that exercises the per-miss
+    fuzzy regex fallback."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.config import MatchConfig, PipelineConfig
+    from ufuzzy_spark.pairdup import PairVerifier, normalize_text
+
+    pages, _ = gen_corpus(120, seed=23, label_pairs=False)
+    texts = [normalize_text(p["text"]) for p in pages]
+    a_list = [texts[i] for i in range(0, 100)]
+    b_list = (
+        [texts[i + 1] for i in range(0, 99)] + [a_list[99]]  # one exact pair
+        + []
+    )
+    a_list += ["", "only one side empty"]
+    b_list += ["nonempty", ""]
+
+    for pcfg in (
+        PipelineConfig(),
+        PipelineConfig(match=MatchConfig(intraMode=1)),
+    ):
+        v = PairVerifier(pcfg)
+        loop = [v.verify(a, b) for a, b in zip(a_list, b_list)]
+        batch = v.verify_batch(a_list, b_list)
+        assert loop == batch, pcfg
+
+
 def test_parse_media_header_real_formats():
     """Audio/video header decode is REAL: WAV RIFF walk, FLAC
     STREAMINFO bitfields, MP3 ID3-skip + MPEG frame header, MP4
@@ -269,6 +299,36 @@ def test_incremental_matches_batch_under_bucket_cap(spark, tmp_path):
     # memoization is real: snapshot 2 verifies strictly fewer pairs
     # than it generates (old x old candidates hit the verdict cache)
     assert stats["pairs_verified"] < stats["cand_pairs"]
+
+
+def test_incremental_guards_reject_corrupting_inputs(spark, tmp_path):
+    """State-integrity guards (round-3 review): re-ingesting a known
+    url would put it twice in the normed state and bridge its old/new
+    content clusters; a legacy (pre-round-3 bands/edges) catalog would
+    be silently treated as empty. Both must raise, loudly."""
+    import pytest as _pytest
+
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pages, _ = gen_corpus(60, seed=3, label_pairs=False)
+    df = spark.createDataFrame(pages)
+
+    cat = LocalParquetCatalog(tmp_path / "re_ingest")
+    incremental_dedup(spark, cat, df)
+    with _pytest.raises(ValueError, match="already ingested"):
+        incremental_dedup(spark, cat, df.limit(5))
+
+    legacy = LocalParquetCatalog(tmp_path / "legacy")
+    legacy.write(
+        spark.createDataFrame(
+            [("u", 1, 2)], "url string, band_id int, band_hash long"
+        ),
+        "bands",
+    )
+    with _pytest.raises(ValueError, match="legacy state"):
+        incremental_dedup(spark, legacy, df)
 
 
 def test_pair_features_counters_match_oracle(spark):
@@ -505,12 +565,21 @@ def test_adjacent_lcp_matches_kasai():
         np.ones(100, dtype=np.int64),                        # degenerate run
         np.array([5], dtype=np.int64),
         np.empty(0, dtype=np.int64),
+        # regression (round-3 review): a literal -1 code used to
+        # collide with the out-of-range second-key fill on the raw-
+        # codes round, merging distinct suffixes (lcp 2 vs true 1)
+        np.array([5, -1, 5], dtype=np.int64),
+        rng.randint(-3, 3, size=200).astype(np.int64),      # negative codes
     ]
     for codes in cases:
         sa, levels = build_suffix_array(codes, keep_levels=True)
         got = adjacent_lcp(sa, levels)
         want = kasai_lcp(codes, sa)
         assert np.array_equal(got, want), (codes[:20], got, want)
+        # and sa itself must be the true suffix sort
+        if len(codes) <= 200:
+            ref = sorted(range(len(codes)), key=lambda i: codes[i:].tolist())
+            assert sa.tolist() == ref
 
 
 def test_pixel_decode_round_trip():

@@ -117,3 +117,41 @@ def test_split_terms_are_nonempty_and_lower(s):
         assert t != ""
         if t[:1] != '"':
             assert t == t.lower()
+
+
+# -- multimodal parser robustness (round 3) ---------------------------- #
+
+_MAGICS = [
+    b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8",
+    b"RIFF", b"RIFFxxxxWAVE", b"RIFFxxxxWEBP", b"fLaC", b"ID3",
+    b"\xff\xfb", b"OggS", b"\x00\x00\x00\x10ftyp",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    prefix=st.sampled_from(_MAGICS),
+    body=st.binary(min_size=0, max_size=300),
+)
+def test_header_parsers_never_raise(prefix, body):
+    """parse_image_header / parse_media_header / decode_pixels /
+    decode_pcm must be total over arbitrary (magic-prefixed) bytes:
+    well-formed result, no exception — the contract that lets them
+    run inside mapInPandas over an untrusted 100 TB corpus."""
+    from ufuzzy_spark.multimodal.decode import decode_pixels, parse_image_header
+    from ufuzzy_spark.multimodal.media import decode_pcm, parse_media_header
+
+    payload = prefix + body
+
+    fmt, w, h = parse_image_header(payload)
+    assert isinstance(fmt, str) and w >= 0 and h >= 0
+
+    m = parse_media_header(payload)
+    assert isinstance(m[0], str) and len(m) == 6
+    assert all(isinstance(x, int) and x >= 0 for x in m[1:])
+
+    px = decode_pixels(payload)
+    assert px is None or px.ndim == 3
+
+    pcm = decode_pcm(payload)
+    assert pcm is None or pcm.ndim == 2

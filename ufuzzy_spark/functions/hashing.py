@@ -404,8 +404,17 @@ def all_band_hashes(
         texts, k, num_perm, bag_num_perm, seed, token_pattern
     )
     char_b = band_hashes_from_sigs(mh, bands, rows, 0)
-    bag_b = band_hashes_from_sigs(bmh, bag_bands, bag_rows, 2000)
+    bag_b = band_hashes_from_sigs(bmh, bag_bands, bag_rows, BAG_BAND_ID_OFFSET)
     return np.concatenate([char_b, bag_b], axis=1), sh
+
+
+# Disjoint band-id / hash-seed spaces for the two signature families:
+# char-shingle bands occupy ids [0, bands); token-bag bands start here.
+# Three sites must agree exactly — band_hashes_from_sigs' seed offset
+# (below), lsh.all_buckets' band_buckets offset, and
+# lsh.postings_from_band_hashes' position->id mapping — so they all
+# read this one constant.
+BAG_BAND_ID_OFFSET = 2000
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

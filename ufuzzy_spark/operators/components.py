@@ -113,7 +113,7 @@ def connected_components(
 
 
 def elect_canonical(
-    clusters: DataFrame, normed: DataFrame
+    clusters: DataFrame, normed: DataFrame, n_chars_col: str | None = None
 ) -> DataFrame:
     """Per-cluster canonical doc via the reference rank-comparator keys.
 
@@ -121,11 +121,19 @@ def elect_canonical(
     quality; for cluster canonicalization the analogous deterministic
     multi-key order is: longest normalized text DESC (most complete
     copy), earliest warc_ts ASC (first crawl), url ASC (tiebreak).
+
+    ``n_chars_col`` names a precomputed full-text length column
+    (streaming/incremental.py stores it at ingest and keeps only a
+    text window — length() over the window would elect differently
+    than batch); default computes length(norm_text) here.
     """
     from pyspark.sql import Window
 
+    length_expr = (
+        F.length("norm_text") if n_chars_col is None else F.col(n_chars_col)
+    )
     enriched = clusters.join(
-        normed.select("url", F.length("norm_text").alias("n_chars"), "warc_ts"),
+        normed.select("url", length_expr.alias("n_chars"), "warc_ts"),
         "url",
         "left",
     )

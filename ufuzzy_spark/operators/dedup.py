@@ -18,9 +18,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def exact_dedup(normed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """normed(url, norm_text, ...) -> (exact_edges, representatives)."""
-    hashed = normed.withColumn("content_hash", F.xxhash64("norm_text"))
+def exact_dedup(
+    normed: DataFrame, hash_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """normed(url, norm_text, ...) -> (exact_edges, representatives).
+
+    ``hash_col`` names a precomputed full-text hash column to group on
+    (streaming/incremental.py stores xxhash64(norm_text) at ingest and
+    keeps only a text window — re-hashing the window would elect
+    different reps than batch); default computes it here.
+    """
+    if hash_col is None:
+        hashed = normed.withColumn("content_hash", F.xxhash64("norm_text"))
+    else:
+        hashed = normed.withColumn("content_hash", F.col(hash_col))
     w = Window.partitionBy("content_hash").orderBy("url")
     ranked = hashed.withColumn("rep_url", F.first("url").over(w)).withColumn(
         "rn", F.row_number().over(w)

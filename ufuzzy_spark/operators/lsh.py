@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ufuzzy_spark.config import PipelineConfig
+from ufuzzy_spark.functions.hashing import BAG_BAND_ID_OFFSET
 
 
 def band_buckets(
@@ -67,7 +68,8 @@ def all_buckets(sigs: DataFrame, pcfg: PipelineConfig | None = None) -> DataFram
     pcfg = pcfg or PipelineConfig()
     char_b = band_buckets(sigs, pcfg, "minhash", pcfg.bands, pcfg.rows_per_band, 0)
     bag_b = band_buckets(
-        sigs, pcfg, "bag_minhash", pcfg.bag_bands, pcfg.bag_rows, 2000
+        sigs, pcfg, "bag_minhash", pcfg.bag_bands, pcfg.bag_rows,
+        BAG_BAND_ID_OFFSET
     )
     return char_b.unionByName(bag_b)
 
@@ -81,7 +83,7 @@ def postings_from_band_hashes(
     inside the signature UDF (minhash.banded_signatures), so this is a
     single posexplode — no signature slicing, no per-band hashing.
     Positions < pcfg.bands are char bands (band_id = pos); the rest
-    are bag bands (band_id = 2000 + pos - bands), matching
+    are bag bands (band_id = BAG_BAND_ID_OFFSET + pos - bands), matching
     band_buckets' disjoint id spaces.
     """
     pcfg = pcfg or PipelineConfig()
@@ -91,7 +93,7 @@ def postings_from_band_hashes(
     ).select(
         "url",
         F.when(F.col("pos") < nb, F.col("pos"))
-        .otherwise(F.col("pos") - nb + 2000)
+        .otherwise(F.col("pos") - nb + BAG_BAND_ID_OFFSET)
         .cast("int")
         .alias("band_id"),
         "band_hash",

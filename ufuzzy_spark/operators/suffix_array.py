@@ -71,8 +71,13 @@ def build_suffix_array(
         levels.append((1, r0.astype(np.int64)))
     k = 1
     while True:
-        # sort by (rank[i], rank[i+k]) — out-of-range second key = -1
-        second = np.full(n, -1, dtype=np.int64)
+        # sort by (rank[i], rank[i+k]); out-of-range second key must
+        # sort BEFORE and never EQUAL any real rank — on the first
+        # round `rank` is the raw codes, so a literal -1 fill would
+        # collide with a caller's -1 code and merge distinct suffixes
+        # (wrong LCPs downstream); rank.min()-1 is collision-free for
+        # any int64 code alphabet
+        second = np.full(n, rank.min() - 1, dtype=np.int64)
         second[: n - k] = rank[k:]
         order = np.lexsort((second, rank))
         # re-rank: same (first, second) pair -> same rank

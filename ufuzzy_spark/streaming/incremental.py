@@ -47,7 +47,11 @@ from pyspark.sql import functions as F
 
 from ufuzzy_spark.catalog import LocalParquetCatalog
 from ufuzzy_spark.config import PipelineConfig
-from ufuzzy_spark.operators.components import connected_components
+from ufuzzy_spark.operators.components import (
+    connected_components,
+    elect_canonical,
+)
+from ufuzzy_spark.operators.dedup import exact_dedup
 from ufuzzy_spark.operators.lsh import candidate_pairs, postings_from_band_hashes
 from ufuzzy_spark.operators.minhash import banded_signatures
 from ufuzzy_spark.operators.normalize import normalize
@@ -67,6 +71,11 @@ def incremental_dedup(
     """Process a new snapshot against persisted state; returns the
     updated full clusters table (also written as a new snapshot),
     bit-equal to ``run_pipeline`` over the union of all snapshots.
+
+    Contract: urls are unique ACROSS snapshots (they are the identity
+    every state table and CC node keys on); a snapshot re-ingesting a
+    known url raises rather than corrupting state. A catalog written
+    by the pre-round-3 layout (bands/edges tables) also raises.
 
     State tables: ``normed`` (url, content_hash, norm_text window,
     n_chars, warc_ts), ``sigs`` (content_hash -> band hashes),
@@ -110,6 +119,28 @@ def incremental_dedup(
         old_sigs = catalog.read(spark, "sigs")
         old_normed = catalog.read(spark, "normed")
         old_verdicts = catalog.read(spark, "verdicts")
+        # urls are the identity every state table and CC node keys on;
+        # a re-crawled url (same url, any content, a later snapshot)
+        # would live twice in `normed` and bridge its old and new
+        # content clusters — refuse loudly rather than corrupt state
+        n_dup_urls = new_normed.join(
+            old_normed.select("url"), "url", "left_semi"
+        ).count()
+        if n_dup_urls:
+            raise ValueError(
+                f"incremental_dedup: {n_dup_urls} url(s) in this snapshot "
+                "were already ingested; urls must be unique across "
+                "snapshots (dedupe or version the urls upstream)"
+            )
+    elif catalog.exists("bands") or catalog.exists("edges"):
+        # a catalog written by the pre-round-3 incremental layout:
+        # treating it as empty would silently drop every previously
+        # ingested doc from the returned clusters
+        raise ValueError(
+            "incremental_dedup: catalog holds legacy state tables "
+            "(bands/edges) from the old new-x-all layout; rebuild state "
+            "by re-ingesting snapshots into a fresh catalog"
+        )
     else:
         old_sigs = spark.createDataFrame([], _SIGS_SCHEMA)
         old_normed = None
@@ -151,15 +182,9 @@ def incremental_dedup(
 
     # --- recomputed relational stages (same operators as batch) ----- #
     # exact-dedup rep election over the CUMULATIVE corpus, grouping on
-    # the stored full-text hash (operators/dedup.exact_dedup semantics;
-    # re-windowing here because state stores the hash, not the text)
-    ranked = all_normed.withColumn(
-        "rep_url", F.first("url").over(first_per_hash)
-    ).withColumn("rn", F.row_number().over(first_per_hash))
-    exact_edges = ranked.where("rn > 1").select(
-        F.col("rep_url").alias("url_a"), F.col("url").alias("url_b")
-    )
-    reps = ranked.where("rn = 1").select("url", "content_hash")
+    # the stored full-text hash (state keeps the hash, not the text)
+    exact_edges, reps_full = exact_dedup(all_normed, hash_col="content_hash")
+    reps = reps_full.select("url", "content_hash")
 
     buckets = postings_from_band_hashes(
         reps.join(sigs_state, "content_hash").select("url", "band_hashes"),
@@ -218,18 +243,10 @@ def incremental_dedup(
     all_edges = fence(exact_edges.unionByName(dup_edges))
 
     cc = connected_components(all_edges, all_nodes=all_normed.select("url"))
-    # canonical election — elect_canonical's exact ordering, over the
-    # INGEST-TIME n_chars (full-text length; the stored norm_text is
-    # only the verify window, so length() over it would diverge)
-    w_elect = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("warc_ts"), F.asc("url")
-    )
-    clusters = (
-        cc.join(all_normed.select("url", "n_chars", "warc_ts"), "url", "left")
-        .withColumn("rnk", F.row_number().over(w_elect))
-        .withColumn("is_canonical", F.col("rnk") == 1)
-        .drop("rnk", "n_chars", "warc_ts")
-    )
+    # canonical election over the INGEST-TIME n_chars (full-text
+    # length; the stored norm_text is only the verify window, so
+    # length() over it would elect differently than batch)
+    clusters = elect_canonical(cc, all_normed, n_chars_col="n_chars")
 
     # persist updated state as new snapshots (append-only tables; this
     # local catalog rewrites, a production catalog appends the deltas)
