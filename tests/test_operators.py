@@ -229,6 +229,32 @@ def test_catalog_snapshots_and_diff(spark, tmp_path):
     assert [r.url for r in new.collect()] == ["c"]
 
 
+def test_catalog_delta_append_and_read_all(spark, tmp_path):
+    """append() writes only new rows; read_all() = most recent FULL
+    snapshot + later deltas — so pre-delta catalogs (all-full
+    snapshots) read identically, and a full write acts as compaction."""
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "cat")
+    cat.write(spark.createDataFrame([("a", 1), ("b", 2)], ["url", "v"]), "t")
+    cat.append(spark.createDataFrame([("c", 3)], ["url", "v"]), "t")
+    cat.append(spark.createDataFrame([("d", 4)], ["url", "v"]), "t")
+    assert {r.url for r in cat.read_all(spark, "t").collect()} == {
+        "a", "b", "c", "d"
+    }
+    # latest raw snapshot is just the last delta
+    assert cat.read(spark, "t").count() == 1
+    # compaction: full write supersedes the delta chain
+    cat.write(cat.read_all(spark, "t"), "t")
+    cat.append(spark.createDataFrame([("e", 5)], ["url", "v"]), "t")
+    assert cat.read_all(spark, "t").count() == 5
+    # pre-delta layout (full snapshots only) reads as the latest full
+    cat2 = LocalParquetCatalog(tmp_path / "old")
+    cat2.write(spark.createDataFrame([("a", 1)], ["url", "v"]), "t")
+    cat2.write(spark.createDataFrame([("a", 1), ("b", 2)], ["url", "v"]), "t")
+    assert cat2.read_all(spark, "t").count() == 2
+
+
 # -- incremental dedup -------------------------------------------------- #
 
 def test_incremental_matches_batch(spark, tmp_path):

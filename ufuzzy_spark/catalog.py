@@ -56,8 +56,12 @@ class LocalParquetCatalog:
 
     # -- I/O -------------------------------------------------------- #
 
-    def write(self, df: DataFrame, table: str, partition_by=None) -> int:
-        """New snapshot (full table state). Returns snapshot id."""
+    def write(
+        self, df: DataFrame, table: str, partition_by=None, mode: str = "full"
+    ) -> int:
+        """New snapshot. ``mode='full'`` holds the whole table state;
+        ``mode='delta'`` holds only rows added since the previous
+        snapshot (see ``append``/``read_all``). Returns snapshot id."""
         snap = (self.latest_snapshot(table) or 0) + 1
         path = self._snap_path(table, snap)
         w = df.write.mode("overwrite")
@@ -69,10 +73,40 @@ class LocalParquetCatalog:
             "ts": time.time(),
             "schema": df.schema.json(),
             "partition_by": partition_by or [],
+            "mode": mode,
         }
         (path / "_META.json").write_text(json.dumps(meta))
         (self._tdir(table) / "_LATEST").write_text(str(snap))
         return snap
+
+    def append(self, df: DataFrame, table: str, partition_by=None) -> int:
+        """Delta snapshot: only the NEW rows. The append-only-table
+        write path (incremental dedup state grows, never mutates) —
+        O(delta) I/O instead of rewriting cumulative state. Read the
+        logical table back with ``read_all``; compact by periodically
+        ``write``-ing the union as a fresh full snapshot."""
+        return self.write(df, table, partition_by, mode="delta")
+
+    def _snap_mode(self, table: str, snap: int) -> str:
+        meta = self._snap_path(table, snap) / "_META.json"
+        if meta.exists():
+            return json.loads(meta.read_text()).get("mode", "full")
+        return "full"  # pre-delta snapshots hold full state
+
+    def read_all(self, spark: SparkSession, table: str) -> DataFrame:
+        """The logical table: the most recent FULL snapshot unioned
+        with every later delta snapshot. Catalogs written before the
+        delta layout read identically (their snapshots are full)."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table} has no snapshots")
+        start = 0
+        for i in range(len(snaps) - 1, -1, -1):
+            if self._snap_mode(table, snaps[i]) == "full":
+                start = i
+                break
+        paths = [str(self._snap_path(table, s)) for s in snaps[start:]]
+        return spark.read.parquet(*paths)
 
     def read(
         self, spark: SparkSession, table: str, snapshot: int | None = None

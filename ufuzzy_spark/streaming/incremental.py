@@ -31,8 +31,9 @@ dominate wall time (per-doc Python/Arrow and per-pair scoring) — stay
 O(new). The recomputed stages are compact JVM hash/shuffle work over
 (long, long) band postings and (url, url) edges. All three state
 tables are APPEND-ONLY by construction (normed grows by new docs,
-sigs by new hashes, verdicts by new pairs); this sandbox catalog
-rewrites full snapshots, a production catalog appends deltas.
+sigs by new hashes, verdicts by new pairs), and each ingest WRITES
+only its delta (catalog.append); catalog.read_all unions the deltas
+back, and compaction is an occasional full write of the union.
 
 Batch-first by design: dedup's global-clustering nature makes
 watermarked streaming state a poor fit (SURVEY.md §2.2 Streaming) —
@@ -116,9 +117,9 @@ def incremental_dedup(
 
     # --- incremental stage 1: sign never-seen texts (Arrow UDF) ----- #
     if catalog.exists("sigs"):
-        old_sigs = catalog.read(spark, "sigs")
-        old_normed = catalog.read(spark, "normed")
-        old_verdicts = catalog.read(spark, "verdicts")
+        old_sigs = catalog.read_all(spark, "sigs")
+        old_normed = catalog.read_all(spark, "normed")
+        old_verdicts = catalog.read_all(spark, "verdicts")
         # urls are the identity every state table and CC node keys on;
         # a re-crawled url (same url, any content, a later snapshot)
         # would live twice in `normed` and bridge its old and new
@@ -156,15 +157,14 @@ def incremental_dedup(
         # is text-addressed (memo survives representative churn)
         .select(F.col("content_hash").alias("url"), "norm_text")
     )
-    sigs_state = fence(
-        old_sigs.unionByName(
-            banded_signatures(sig_inputs, pcfg).withColumnRenamed(
-                "url", "content_hash"
-            )
+    new_sigs = fence(
+        banded_signatures(sig_inputs, pcfg).withColumnRenamed(
+            "url", "content_hash"
         )
     )
+    sigs_state = old_sigs.unionByName(new_sigs)
     if stats_out is not None:
-        stats_out["new_sigs_computed"] = sigs_state.count() - old_sigs.count()
+        stats_out["new_sigs_computed"] = new_sigs.count()
 
     # cumulative slim doc state: verify window + election keys only
     # (full norm_text is never needed again — sigs are memoized)
@@ -230,10 +230,12 @@ def incremental_dedup(
             .count()
         )
 
-    new_verdicts = verify_pairs(
-        to_verify.select("url_a", "url_b"), all_normed, pcfg
-    ).join(to_verify, ["url_a", "url_b"]).select("hash_lo", "hash_hi", "is_dup")
-    verdicts_state = fence(old_verdicts.unionByName(new_verdicts))
+    new_verdicts = fence(
+        verify_pairs(to_verify.select("url_a", "url_b"), all_normed, pcfg)
+        .join(to_verify, ["url_a", "url_b"])
+        .select("hash_lo", "hash_hi", "is_dup")
+    )
+    verdicts_state = old_verdicts.unionByName(new_verdicts)
 
     dup_edges = (
         cand.join(verdicts_state, ["hash_lo", "hash_hi"])
@@ -248,11 +250,19 @@ def incremental_dedup(
     # length() over it would elect differently than batch)
     clusters = elect_canonical(cc, all_normed, n_chars_col="n_chars")
 
-    # persist updated state as new snapshots (append-only tables; this
-    # local catalog rewrites, a production catalog appends the deltas)
-    catalog.write(sigs_state, "sigs")
-    catalog.write(all_normed, "normed")
-    catalog.write(verdicts_state, "verdicts")
+    # persist state as DELTA snapshots — the tables are append-only by
+    # construction, so each ingest writes O(new) rows, not cumulative
+    # state; read_all unions the deltas back (compaction = an
+    # occasional full catalog.write of the union). clusters is an
+    # OUTPUT table: always a full snapshot.
+    if old_normed is None:
+        catalog.write(new_sigs, "sigs")
+        catalog.write(new_slim, "normed")
+        catalog.write(new_verdicts, "verdicts")
+    else:
+        catalog.append(new_sigs, "sigs")
+        catalog.append(new_slim, "normed")
+        catalog.append(new_verdicts, "verdicts")
     catalog.write(clusters, "clusters")
     out = catalog.read(spark, "clusters")
     for df in fences:
