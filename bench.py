@@ -40,7 +40,7 @@ def docs_as_pages(spark, sf_dir: str):
     )
 
 
-def run_suite(spark, sf_dir: str) -> dict:
+def run_suite(spark, sf_dir: str, skip_side_effecting: bool = False) -> dict:
     """Per-query wall seconds. Each query is forced with a count/write."""
     from ufuzzy_spark import entry_queries
     from ufuzzy_spark.pipeline import run_pipeline
@@ -75,15 +75,33 @@ def run_suite(spark, sf_dir: str) -> dict:
     # them) — iterate the registry so new entries join automatically.
     q = entry_queries.queries()
     for name in q:
+        if skip_side_effecting and name in SIDE_EFFECTING:
+            continue
         bench(name, lambda n=name: q[n](spark, sf_dir).count())
 
     return timings
+
+
+# Oracle queries that run whole pipelines (twice) at query time to
+# PROVE an invariant — correct design for what they pin, but they are
+# integration proofs, not operator benchmarks, and they dominated the
+# r03 suite wall (55 of 145 s). They are still benched by default (the
+# driver contract keeps every key) but reported as their own tier so
+# round-over-round diffs of the operator queries aren't buried
+# (VERDICT r3 next #6).
+SIDE_EFFECTING = {"resume_lineage", "incremental_ingest"}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", default=CPUS)
+    ap.add_argument(
+        "--skip-side-effecting",
+        action="store_true",
+        help="skip the pipeline-proof oracle queries (fast iteration "
+        "tier; the driver default benches everything)",
+    )
     args = ap.parse_args()
 
     from ufuzzy_spark.session import get_spark
@@ -96,8 +114,11 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
 
     t0 = time.time()
-    timings = run_suite(spark, args.sf_dir)
+    timings = run_suite(spark, args.sf_dir, args.skip_side_effecting)
     total = round(time.time() - t0, 3)
+    side_wall = round(
+        sum(t for n, t in timings.items() if n in SIDE_EFFECTING), 3
+    )
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -113,6 +134,10 @@ def main() -> None:
                     n_docs / timings["dedup_pipeline"], 1
                 ),
                 "cpus": int(args.cpus),
+                # two-tier wall (VERDICT r3 next #6): operator queries
+                # vs the pipeline-proof oracle queries
+                "core_wall": round(total - side_wall, 3),
+                "side_effecting_wall": side_wall,
             }
         )
     )

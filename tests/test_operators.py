@@ -357,6 +357,202 @@ def test_incremental_guards_reject_corrupting_inputs(spark, tmp_path):
         incremental_dedup(spark, legacy, df)
 
 
+def test_incremental_pair_retirement_matches_batch(spark, tmp_path):
+    """The O(new+touched) hard path (round 4): shuffled snapshot order
+    puts smaller urls in LATER snapshots, so cap-rank shifts inside
+    over-cap buckets RETIRE pairs no other bucket carries — the
+    refcount must drop them and the incident components must dissolve
+    and re-solve, still bit-equal to batch (including is_canonical).
+    Seed pinned from a sweep where retirement provably fires."""
+    import random
+
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.config import PipelineConfig
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pcfg = PipelineConfig(max_bucket_size=2, salt_buckets=2)
+    pages, _ = gen_corpus(400, seed=13, label_pairs=False)
+    random.Random(1301).shuffle(pages)
+    cuts = [len(pages) // 3, 2 * len(pages) // 3]
+    snaps = [pages[: cuts[0]], pages[cuts[0] : cuts[1]], pages[cuts[1] :]]
+
+    cat = LocalParquetCatalog(tmp_path / "retire")
+    final, removed, dissolved = None, 0, 0
+    for s in snaps:
+        st: dict = {}
+        final = incremental_dedup(
+            spark, cat, spark.createDataFrame(s), pcfg=pcfg, stats_out=st
+        )
+        removed += st["pairs_removed"]
+        dissolved += st["dissolved_components"]
+        assert st["old_x_old_reverified"] == 0
+    assert removed > 0 and dissolved > 0  # the hard path actually ran
+
+    inc = {(r.url, r.cluster_id, r.is_canonical) for r in final.collect()}
+    bres = run_pipeline(spark, spark.createDataFrame(pages), pcfg=pcfg)
+    bat = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres.clusters.collect()
+    }
+    bres.unpersist()
+    assert inc == bat
+
+
+def test_incremental_rep_churn_matches_batch(spark, tmp_path):
+    """A later snapshot carrying the SAME content under a smaller url
+    churns the exact-dedup representative: every bucket that hash
+    posts to is touched, its pairs re-key onto the new rep url, and
+    the final clusters still equal batch."""
+    import datetime as dt
+
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    t0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(url, text, i):
+        return {
+            "url": url,
+            "warc_ts": t0 + dt.timedelta(seconds=i),
+            "html": b"<html><body>" + text.encode() + b"</body></html>",
+            "text": text,
+            "lang": "en",
+        }
+
+    base = " ".join(f"token{i:04d} filler words here" for i in range(80))
+    near = base.replace("token0040", "tokenXX40")
+    other = " ".join(f"unrelated{i:04d} completely different" for i in range(60))
+    snap1 = [
+        page("https://z.example/en/doc-1", base, 1),
+        page("https://y.example/en/doc-2", near, 2),
+        page("https://x.example/en/doc-3", other, 3),
+    ]
+    # same content as doc-1 under a lexically SMALLER url -> churn
+    snap2 = [
+        page("https://a.example/en/doc-9", base, 9),
+        page("https://b.example/en/doc-8", other, 8),
+    ]
+
+    cat = LocalParquetCatalog(tmp_path / "churn")
+    incremental_dedup(spark, cat, spark.createDataFrame(snap1))
+    st: dict = {}
+    final = incremental_dedup(
+        spark, cat, spark.createDataFrame(snap2), stats_out=st
+    )
+    assert st["reps_churned"] >= 1
+
+    inc = {(r.url, r.cluster_id, r.is_canonical) for r in final.collect()}
+    bres = run_pipeline(spark, spark.createDataFrame(snap1 + snap2))
+    bat = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres.clusters.collect()
+    }
+    bres.unpersist()
+    assert inc == bat
+
+
+def test_incremental_config_guard_rejects_mismatch(spark, tmp_path):
+    """State is config-bound (ADVICE r3 medium): band layouts, verify
+    windows and memoized verdicts bake the PipelineConfig in — a later
+    ingest under a different config must raise, not silently reuse."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.config import PipelineConfig
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pages, _ = gen_corpus(40, seed=2, label_pairs=False)
+    df = spark.createDataFrame(pages)
+    cat = LocalParquetCatalog(tmp_path / "guard")
+    incremental_dedup(spark, cat, df.limit(20))
+    with pytest.raises(ValueError, match="config_hash"):
+        incremental_dedup(
+            spark,
+            cat,
+            df,
+            pcfg=PipelineConfig(verify_window_chars=64),
+        )
+
+
+def test_incremental_auto_compaction_preserves_state(spark, tmp_path):
+    """compact_every bounds every delta chain; compaction (including
+    pair_cnt's refcount aggregation) must not change the logical state
+    — later ingests over a compacted catalog still equal batch."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pages, _ = gen_corpus(160, seed=5, label_pairs=False)
+    quarters = [pages[i::4] for i in range(4)]
+    cat = LocalParquetCatalog(tmp_path / "compact")
+    final = None
+    for q in quarters:
+        final = incremental_dedup(
+            spark, cat, spark.createDataFrame(q), compact_every=2
+        )
+    # the chain was compacted at least once and stays bounded
+    assert cat.deltas_since_full("pair_cnt") <= 2
+    assert cat.deltas_since_full("sigs") <= 2
+
+    inc = {(r.url, r.cluster_id, r.is_canonical) for r in final.collect()}
+    bres = run_pipeline(spark, spark.createDataFrame(pages))
+    bat = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres.clusters.collect()
+    }
+    bres.unpersist()
+    assert inc == bat
+
+
+def test_windowed_state_verify_matches_batch(spark, tmp_path):
+    """ADVICE r3 low: the incremental state stores only the verify
+    window of norm_text. Batch verify_pairs windows identically
+    (operators/verify.py substrings BEFORE the UDF), so window-equal
+    docs with differing tails — even with zero >=2-char window terms —
+    get the SAME verdict in both paths. Pin that non-divergence."""
+    import datetime as dt
+
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    t0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(url, text, i):
+        return {
+            "url": url,
+            "warc_ts": t0 + dt.timedelta(seconds=i),
+            "html": b"<html><body>" + text.encode() + b"</body></html>",
+            "text": text,
+            "lang": "en",
+        }
+
+    # identical first 2*512 normalized chars, tails differ; variant A
+    # has normal terms, variant B has ONLY single-char tokens in the
+    # window (zero extractable >=2-char terms — the exact-path probe)
+    base_terms = " ".join(f"shared{i:04d} prefix tokens" for i in range(60))
+    base_chars = " ".join("abcdefgh"[i % 8] for i in range(1100))
+    rows = [
+        page("https://s1.example/en/a", base_terms + " tail one alpha", 1),
+        page("https://s2.example/en/b", base_terms + " other ending beta", 2),
+        page("https://s1.example/en/c", base_chars + " longtail gamma rays", 3),
+        page("https://s2.example/en/d", base_chars + " different delta coda", 4),
+    ]
+    snap1, snap2 = rows[:2], rows[2:]
+
+    cat = LocalParquetCatalog(tmp_path / "windowed")
+    incremental_dedup(spark, cat, spark.createDataFrame(snap1))
+    final = incremental_dedup(spark, cat, spark.createDataFrame(snap2))
+
+    inc = {(r.url, r.cluster_id, r.is_canonical) for r in final.collect()}
+    bres = run_pipeline(spark, spark.createDataFrame(rows))
+    bat = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres.clusters.collect()
+    }
+    bres.unpersist()
+    assert inc == bat
+
+
 def test_pair_features_counters_match_oracle(spark):
     """pair_features must emit exactly what oracle.info computes for
     the same needle/haystack (exercises the Arrow plumbing)."""

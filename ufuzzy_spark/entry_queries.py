@@ -2040,28 +2040,25 @@ def q_incremental_ingest(spark, sf_dir):
         incremental_dedup(spark, cat, snap1)
         stats: dict = {}
         final = incremental_dedup(spark, cat, snap2, stats_out=stats)
-        inc_clusters = {
-            (r.url, r.cluster_id)
-            for r in final.select("url", "cluster_id").collect()
-        }
+
+        batch_res = run_pipeline(spark, pages.drop("doc_id"))
+        # scale-safe set equality (VERDICT r3 wrong #3): symmetric
+        # exceptAll counts instead of collecting both cluster tables
+        # to the driver — the sf0.1 parity sweep runs this query too
+        inc_kv = final.select("url", "cluster_id")
+        bat_kv = batch_res.clusters.select("url", "cluster_id")
+        n_diff = (
+            inc_kv.exceptAll(bat_kv).count() + bat_kv.exceptAll(inc_kv).count()
+        )
+        batch_res.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-    batch_res = run_pipeline(spark, pages.drop("doc_id"))
-    batch_clusters = {
-        (r.url, r.cluster_id)
-        for r in batch_res.clusters.select("url", "cluster_id").collect()
-    }
-    batch_res.unpersist()
 
     rows = [
         ("docs_total", n1 + n2),
         ("snap1_docs", n1),
         ("snap2_docs", n2),
         ("old_x_old_reverified", int(stats["old_x_old_reverified"])),
-        (
-            "incremental_equals_batch",
-            1 if inc_clusters == batch_clusters else 0,
-        ),
+        ("incremental_equals_batch", 1 if n_diff == 0 else 0),
     ]
     return spark.createDataFrame(rows, "metric string, value long")

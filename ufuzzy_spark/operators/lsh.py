@@ -100,10 +100,18 @@ def postings_from_band_hashes(
     )
 
 
-def candidate_pairs(
+def _pair_emissions(
     buckets: DataFrame, pcfg: PipelineConfig | None = None
 ) -> DataFrame:
-    """(url, band_id, band_hash) -> distinct (url_a, url_b), url_a < url_b.
+    """Per-bucket pair emissions BEFORE cross-bucket dedup:
+    (band_id, band_hash, url_a, url_b) with url_a < url_b.
+
+    Within one (band_id, band_hash) every emitted pair is distinct (the
+    quadratic pairs, bucket-star and salt-star url_b sets are disjoint
+    by construction), so grouping the emissions by pair counts exactly
+    the number of buckets generating it — the refcount basis for
+    incremental ingest (streaming/incremental.py), while
+    ``candidate_pairs`` keeps the original dedup'd contract.
 
     Skew (north rule: "salted for skew"): a hot band key would funnel
     every member into ONE window partition, so capping is two-phase:
@@ -190,10 +198,45 @@ def candidate_pairs(
         over_expr,
         F.filter(F.array(F.col("salt_star")), lambda s: s.isNotNull()),
     )
+    return grouped.select(
+        "band_id", "band_hash", F.explode(emit).alias("p")
+    ).select("band_id", "band_hash", "p.url_a", "p.url_b")
+
+
+def candidate_pairs(
+    buckets: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """(url, band_id, band_hash) -> distinct (url_a, url_b), url_a < url_b.
+
+    Cross-band duplicate pairs collapse here (the matchedIdxs Set
+    analog, uFuzzy.mjs:839-857); see ``_pair_emissions`` for the
+    per-bucket expansion and the salted two-phase cap.
+    """
     return (
-        grouped.select(F.explode(emit).alias("p"))
-        .select("p.url_a", "p.url_b")
+        _pair_emissions(buckets, pcfg)
+        .select("url_a", "url_b")
         .dropDuplicates(["url_a", "url_b"])
+    )
+
+
+def candidate_pair_counts(
+    buckets: DataFrame, pcfg: PipelineConfig | None = None
+) -> DataFrame:
+    """(url, band_id, band_hash) -> (url_a, url_b, cnt) where cnt is
+    the number of buckets generating the pair (bounded by
+    bands + bag_bands — a pair shares at most one bucket per band).
+
+    ``candidate_pairs`` equals exactly the cnt >= 1 pairs. The counts
+    make the pair set incrementally maintainable: per-bucket emissions
+    are a pure function of the bucket's member-url set, so re-counting
+    only the buckets whose membership changed and applying the count
+    difference as a delta reproduces the batch pair set without
+    re-expanding untouched buckets (streaming/incremental.py).
+    """
+    return (
+        _pair_emissions(buckets, pcfg)
+        .groupBy("url_a", "url_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
     )
 
 

@@ -59,6 +59,14 @@ def build_suffix_array(
     if n == 0:
         empty = np.empty(0, dtype=np.int64)
         return (empty, []) if keep_levels else empty
+    if keep_levels and n >= 2**31:
+        # levels are downcast to int32 to halve the sparse table; a
+        # group beyond 2^31 chars would silently wrap ranks and emit
+        # wrong LCPs (wrong pairs) instead of failing (ADVICE r3)
+        raise ValueError(
+            f"build_suffix_array: group of {n} chars exceeds the int32 "
+            "rank-level range; split the group before the suffix pass"
+        )
     # COPY: the rank/tmp buffer swap below would otherwise alias and
     # mutate the caller's codes array in place (np.asarray is a no-op
     # on an int64 input)

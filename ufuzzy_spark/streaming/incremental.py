@@ -2,38 +2,69 @@
 
 The reference's prefixCache demo reuses prior results when the query
 extends a cached prefix (demos/compare.html:562-601); the pipeline
-analog is memoizing the EXPENSIVE stages across snapshots while
-guaranteeing the final clusters equal a single batch run over the
-union (resume-equivalence — the prefixCache contract).
+analog is memoizing prior work across snapshots while guaranteeing the
+final clusters equal a single batch run over the union
+(resume-equivalence — the prefixCache contract).
 
-Design (round 3 — replaces the round-2 "new x all band join"):
-the two Python-heavy stages are incremental, keyed by CONTENT hash so
-the memo survives representative churn:
+Design (round 4 — O(new + touched), replacing the round-3 full
+relational recompute): EVERY stage is now scoped to the snapshot's
+blast radius, not the cumulative corpus:
 
-- ``sigs`` state: (content_hash, band_hashes, simhash) — the Arrow
-  signature UDF runs only for never-seen texts, O(new distinct texts).
-- ``verdicts`` state: (hash_lo, hash_hi, is_dup) — bounded-edit
+- ``sigs`` state (content_hash -> band hashes, simhash): the Arrow
+  signature UDF runs only for never-seen texts. O(new distinct texts).
+- **touched buckets**: a (band_id, band_hash) bucket's membership (the
+  set of representative urls posting into it) changes only if a NEW
+  content hash posts into it, or the representative url of a member
+  hash changed (rep churn: a new doc with the same content and a
+  smaller url). Band hashes are pure functions of content, so the
+  touched-key set is derivable from the new + churned hashes alone.
+  Untouched buckets emit bit-identical pairs (lsh._pair_emissions is a
+  pure function of the member-url set), so candidate generation reruns
+  ONLY over touched buckets.
+- ``pair_cnt`` state (url_a, url_b, d): append-only refcount deltas;
+  the logical count of a pair = sum(d) = the number of buckets
+  currently generating it (candidate_pair_counts). Re-counting touched
+  buckets before/after and appending the difference maintains the
+  EXACT batch pair set: pairs appear when their count rises from 0 and
+  disappear when it returns to 0 (cap-rank shifts inside an over-cap
+  bucket can retire a pair another bucket doesn't carry).
+- ``verdicts`` state (hash_lo, hash_hi, is_dup): bounded-edit
   verification is a pure function of the two normalized windows, so
-  each unordered text pair is verified exactly once, ever.
+  each unordered text pair is verified exactly once, ever. Only ADDED
+  pairs missing from the memo are verified. O(new-ish).
+- **label-seeded connected components**: prior clusters are reused as
+  supernodes. Added edges between intact components merge them on a
+  graph of component labels; components incident to a REMOVED dup edge
+  are dissolved (their members become individual nodes, their current
+  edges regathered from pair_cnt + verdicts + exact-hash groups) and
+  re-solved. Cluster ids are min-member urls, and an intact
+  component's label IS its min member url, so the small graph's
+  min-label CC yields exactly the batch labels.
+- canonical election reruns only for components present in the small
+  graph; all other rows of the prior clusters table carry over.
 
-The cheap relational stages — exact-dedup rep election, the salted
-capped candidate generation (lsh.candidate_pairs), connected
-components, canonical election — are recomputed over cumulative state
-with the SAME operators as pipeline.run_pipeline. That recompute is
-what makes incremental == batch EXACT by construction: the round-2
-"new x all band join" diverged from batch whenever a bucket crossed
-pcfg.max_bucket_size, because the capped star-overflow expansion is
-not incrementally decomposable (cap ranks shift when new members
-interleave into an over-cap bucket).
+Exactness: incremental == batch is by construction at the PAIR-SET
+level (not merely connectivity): untouched buckets are invariant,
+touched buckets are recounted with the same operator, so the logical
+pair set equals candidate_pairs over cumulative reps, and verdicts are
+content-addressed. The round-2 "new x all band join" failed exactly
+here — the capped star-overflow expansion is not decomposable by
+doc arrival, but it IS decomposable by bucket.
 
-Scale notes (100 TB): signatures + verification — the stages that
-dominate wall time (per-doc Python/Arrow and per-pair scoring) — stay
-O(new). The recomputed stages are compact JVM hash/shuffle work over
-(long, long) band postings and (url, url) edges. All three state
-tables are APPEND-ONLY by construction (normed grows by new docs,
-sigs by new hashes, verdicts by new pairs), and each ingest WRITES
-only its delta (catalog.append); catalog.read_all unions the deltas
-back, and compaction is an occasional full write of the union.
+Scale notes (100 TB): per-snapshot SHUFFLE work is O(new + touched) —
+postings explode/distinct of new+churned hashes, the two touched-
+bucket pair expansions, the added-pair verification, and a small-graph
+CC. Cumulative state is only ever read through broadcast-filtered
+column-pruned parquet scans (no shuffle); on a real cluster the state
+tables would additionally be bucketed by their join keys so those
+scans partition-prune too. State tables are APPEND-ONLY (normed/sigs/
+verdicts grow; pair_cnt grows by deltas whose running sum is the
+logical count), each ingest writes O(new) delta rows
+(catalog.append), and ``compact_every`` bounds the delta-chain length
+(catalog.maybe_compact; pair_cnt compacts to its aggregated sums).
+``clusters`` is an OUTPUT table: always a full snapshot, rebuilt as
+(carried-over prior rows) + (re-elected affected components) with no
+wide shuffle.
 
 Batch-first by design: dedup's global-clustering nature makes
 watermarked streaming state a poor fit (SURVEY.md §2.2 Streaming) —
@@ -42,6 +73,8 @@ Structured Streaming foreachBatch sink (tests/test_streaming.py).
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -52,14 +85,57 @@ from ufuzzy_spark.operators.components import (
     connected_components,
     elect_canonical,
 )
-from ufuzzy_spark.operators.dedup import exact_dedup
-from ufuzzy_spark.operators.lsh import candidate_pairs, postings_from_band_hashes
+from ufuzzy_spark.operators.lsh import (
+    candidate_pair_counts,
+    postings_from_band_hashes,
+)
 from ufuzzy_spark.operators.minhash import banded_signatures
 from ufuzzy_spark.operators.normalize import normalize
 from ufuzzy_spark.operators.verify import verify_pairs
 
 _SIGS_SCHEMA = "content_hash long, band_hashes array<bigint>, simhash long"
 _VERDICTS_SCHEMA = "hash_lo long, hash_hi long, is_dup boolean"
+_PAIR_CNT_SCHEMA = "url_a string, url_b string, d int"
+_REPS_SCHEMA = "content_hash long, old_rep_url string"
+
+_CONFIG_GUARD = "_PIPELINE_CONFIG.json"
+
+
+def _check_config_guard(catalog: LocalParquetCatalog, pcfg: PipelineConfig):
+    """Persist pcfg.config_hash() on first ingest; refuse a mismatch.
+
+    The state tables are only meaningful under the config that wrote
+    them: band_hashes positions encode bands+bag_bands, stored
+    norm_text is a 2*verify_window_chars window, and memoized verdicts
+    bake in theta/window. Reusing them under a different config would
+    produce wrong clusters with no error — unlike the batch path,
+    where config_hash invalidates checkpoints (lineage.StageRunner).
+    Any config change therefore requires a fresh catalog.
+    """
+    guard = catalog.root / _CONFIG_GUARD
+    if guard.exists():
+        stored = json.loads(guard.read_text())
+        if stored.get("config_hash") != pcfg.config_hash():
+            raise ValueError(
+                "incremental_dedup: catalog state was written under "
+                f"config_hash={stored.get('config_hash')} but this ingest "
+                f"uses {pcfg.config_hash()}; state (band layouts, verify "
+                "windows, memoized verdicts) is config-bound — re-ingest "
+                "into a fresh catalog"
+            )
+    else:
+        guard.write_text(
+            json.dumps({"config_hash": pcfg.config_hash(), "version": 4})
+        )
+
+
+def _hash_postings(sigs: DataFrame, pcfg: PipelineConfig) -> DataFrame:
+    """sigs(content_hash, band_hashes) -> (content_hash, band_id,
+    band_hash) — postings keyed by CONTENT (pure function of the text,
+    so append-only across snapshots and invariant under rep churn)."""
+    return postings_from_band_hashes(
+        sigs.select(F.col("content_hash").alias("url"), "band_hashes"), pcfg
+    ).withColumnRenamed("url", "content_hash")
 
 
 def incremental_dedup(
@@ -68,6 +144,7 @@ def incremental_dedup(
     new_pages: DataFrame,
     pcfg: PipelineConfig | None = None,
     stats_out: dict | None = None,
+    compact_every: int = 16,
 ) -> DataFrame:
     """Process a new snapshot against persisted state; returns the
     updated full clusters table (also written as a new snapshot),
@@ -75,38 +152,64 @@ def incremental_dedup(
 
     Contract: urls are unique ACROSS snapshots (they are the identity
     every state table and CC node keys on); a snapshot re-ingesting a
-    known url raises rather than corrupting state. A catalog written
-    by the pre-round-3 layout (bands/edges tables) also raises.
+    known url raises rather than corrupting state. Catalogs written by
+    earlier state layouts (round 2 bands/edges; round 3 without
+    pair_cnt) raise too, as does a config_hash mismatch
+    (_check_config_guard).
 
     State tables: ``normed`` (url, content_hash, norm_text window,
     n_chars, warc_ts), ``sigs`` (content_hash -> band hashes),
-    ``verdicts`` (unordered content-hash pair -> is_dup).
+    ``verdicts`` (unordered content-hash pair -> is_dup), ``pair_cnt``
+    (pair -> bucket-refcount deltas). ``compact_every`` bounds each
+    table's delta-snapshot chain (catalog.maybe_compact).
 
     ``stats_out``, when given, is filled with:
 
-    - ``cand_pairs``: candidate pairs this snapshot (capped generator
-      over cumulative representatives — includes old x old pairs,
-      which are relational-only and hit the verdict memo),
-    - ``pairs_verified``: memo misses actually verified this snapshot,
+    - ``cand_pairs``: pairs generated from TOUCHED buckets this
+      snapshot (the blast radius — includes old x old pairs whose
+      counts were re-derived relationally),
+    - ``pairs_added`` / ``pairs_removed``: logical pair-set delta,
+    - ``pairs_verified``: verdict-memo misses actually verified,
     - ``old_x_old_reverified``: verified pairs whose BOTH urls predate
       this snapshot — 0 unless a new doc shifted cap ranks inside an
       already-over-cap bucket; the `incremental_ingest` driver entry
       pins 0 (the expensive stage never re-pairs old x old),
-    - ``new_sigs_computed``: never-seen texts signed this snapshot.
+    - ``new_sigs_computed``: never-seen texts signed this snapshot,
+    - ``touched_buckets`` / ``total_buckets``: blast-radius fraction,
+    - ``dissolved_components``: prior components re-solved because a
+      pair they relied on was retired.
     """
     pcfg = pcfg or PipelineConfig()
+    _check_config_guard(catalog, pcfg)
     win = 2 * pcfg.verify_window_chars
 
-    # persist+count fences (same discipline as pipeline.run_pipeline):
-    # this function runs many actions (CC iterations + catalog writes
-    # + stat counts) over shared subplans — unfenced, the normalize
-    # and signature UDF chains recompute once per action
-    fences: list[DataFrame] = []
+    # lineage fences: small/derived frames consumed by several actions
+    # are materialized once; cumulative STATE reads are deliberately
+    # NOT fenced — they are broadcast-filtered column-pruned scans,
+    # re-scanned per use, which is the shape that survives 100 TB (no
+    # executor-memory residency proportional to corpus size)
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("UFZ_INCR_DEBUG") == "1"
+    _n_fences = [0]
 
     def fence(df: DataFrame) -> DataFrame:
-        df = df.persist()
-        df.count()
-        fences.append(df)
+        # localCheckpoint, not persist: the incremental frames chain
+        # deeply and reference each other several times — persist()
+        # caches execution but keeps the full LOGICAL plan, so the
+        # analyzer tree doubles per stage (measured: driver-heap OOM by
+        # the ~14th fence at 600 docs). Checkpointing truncates each
+        # stage to a leaf; blocks are small (bounded by the snapshot /
+        # touched-bucket size) and reclaimed by the ContextCleaner once
+        # the frames go out of scope.
+        i = _n_fences[0]
+        _n_fences[0] += 1
+        t0 = _time.time()
+        df = df.localCheckpoint(eager=True)
+        if _dbg:
+            print(f"[incr] fence#{i}: rows={df.count()} "
+                  f"wall={_time.time()-t0:.2f}s cols={df.columns}", flush=True)
         return df
 
     new_normed = fence(
@@ -114,19 +217,34 @@ def incremental_dedup(
         .select("url", "warc_ts", "norm_text")
         .withColumn("content_hash", F.xxhash64("norm_text"))
     )
+    new_urls = new_normed.select("url")
 
-    # --- incremental stage 1: sign never-seen texts (Arrow UDF) ----- #
-    if catalog.exists("sigs"):
+    has_state = catalog.exists("sigs")
+    if has_state:
+        if catalog.exists("bands") or catalog.exists("edges") or not (
+            catalog.exists("pair_cnt") and catalog.exists("clusters")
+        ):
+            # catalogs written by the pre-round-4 layouts: round 2
+            # (bands/edges) or round 3 (no pair_cnt refcounts). Treating
+            # either as compatible would silently corrupt the pair set.
+            raise ValueError(
+                "incremental_dedup: catalog holds legacy state tables "
+                "(pre-round-4 layout); rebuild state by re-ingesting "
+                "snapshots into a fresh catalog"
+            )
         old_sigs = catalog.read_all(spark, "sigs")
         old_normed = catalog.read_all(spark, "normed")
         old_verdicts = catalog.read_all(spark, "verdicts")
+        old_keys = old_normed.select("url", "content_hash")
         # urls are the identity every state table and CC node keys on;
         # a re-crawled url (same url, any content, a later snapshot)
         # would live twice in `normed` and bridge its old and new
         # content clusters — refuse loudly rather than corrupt state
-        n_dup_urls = new_normed.join(
-            old_normed.select("url"), "url", "left_semi"
-        ).count()
+        n_dup_urls = (
+            old_keys.select("url")
+            .join(F.broadcast(new_urls), "url", "left_semi")
+            .count()
+        )
         if n_dup_urls:
             raise ValueError(
                 f"incremental_dedup: {n_dup_urls} url(s) in this snapshot "
@@ -134,9 +252,6 @@ def incremental_dedup(
                 "snapshots (dedupe or version the urls upstream)"
             )
     elif catalog.exists("bands") or catalog.exists("edges"):
-        # a catalog written by the pre-round-3 incremental layout:
-        # treating it as empty would silently drop every previously
-        # ingested doc from the returned clusters
         raise ValueError(
             "incremental_dedup: catalog holds legacy state tables "
             "(bands/edges) from the old new-x-all layout; rebuild state "
@@ -146,12 +261,49 @@ def incremental_dedup(
         old_sigs = spark.createDataFrame([], _SIGS_SCHEMA)
         old_normed = None
         old_verdicts = spark.createDataFrame([], _VERDICTS_SCHEMA)
+        old_keys = None
 
+    # --- per-hash min url within this batch (rep candidates) -------- #
+    batch_min = fence(
+        new_normed.groupBy("content_hash").agg(
+            F.min("url").alias("new_min_url")
+        )
+    )
+
+    # --- prior reps for this batch's hashes; churn detection --------- #
+    # rep(h) = min url ever ingested with hash h (exact_dedup's
+    # orderBy("url") election) — min is associative, so the prior rep
+    # is a broadcast-filtered scan of (url, content_hash) + a tiny agg
+    if old_keys is not None:
+        old_reps_batch = fence(
+            old_keys.join(
+                F.broadcast(batch_min.select("content_hash")),
+                "content_hash",
+                "left_semi",
+            )
+            .groupBy("content_hash")
+            .agg(F.min("url").alias("old_rep_url"))
+        )
+    else:
+        old_reps_batch = spark.createDataFrame([], _REPS_SCHEMA)
+
+    merged_reps = fence(batch_min.join(old_reps_batch, "content_hash", "left"))
+    new_hashes = merged_reps.where(F.col("old_rep_url").isNull()).select(
+        "content_hash"
+    )
+    churned = merged_reps.where(
+        F.col("old_rep_url").isNotNull()
+        & (F.col("new_min_url") < F.col("old_rep_url"))
+    ).select("content_hash")
+    if stats_out is not None:
+        stats_out["reps_churned"] = churned.count()
+
+    # --- incremental stage 1: sign never-seen texts (Arrow UDF) ----- #
     first_per_hash = Window.partitionBy("content_hash").orderBy("url")
     sig_inputs = (
         new_normed.withColumn("rn", F.row_number().over(first_per_hash))
         .where("rn = 1")
-        .join(old_sigs.select("content_hash"), "content_hash", "left_anti")
+        .join(F.broadcast(new_hashes), "content_hash", "left_semi")
         # banded_signatures keys its output by the passthrough "url"
         # column — feed the content hash as that key so the sig table
         # is text-addressed (memo survives representative churn)
@@ -162,7 +314,6 @@ def incremental_dedup(
             "url", "content_hash"
         )
     )
-    sigs_state = old_sigs.unionByName(new_sigs)
     if stats_out is not None:
         stats_out["new_sigs_computed"] = new_sigs.count()
 
@@ -175,96 +326,464 @@ def incremental_dedup(
         F.length("norm_text").alias("n_chars"),
         "warc_ts",
     )
-    all_normed = new_slim
-    if old_normed is not None:
-        all_normed = old_normed.unionByName(new_slim)
-    all_normed = fence(all_normed)
+    all_keys = new_normed.select("url", "content_hash")
+    if old_keys is not None:
+        all_keys = old_keys.unionByName(all_keys)
 
-    # --- recomputed relational stages (same operators as batch) ----- #
-    # exact-dedup rep election over the CUMULATIVE corpus, grouping on
-    # the stored full-text hash (state keeps the hash, not the text)
-    exact_edges, reps_full = exact_dedup(all_normed, hash_col="content_hash")
-    reps = reps_full.select("url", "content_hash")
-
-    buckets = postings_from_band_hashes(
-        reps.join(sigs_state, "content_hash").select("url", "band_hashes"),
-        pcfg,
+    # --- touched buckets: keys gaining a new hash or a churned rep -- #
+    new_posts = _hash_postings(new_sigs, pcfg)
+    churned_sigs = old_sigs.join(
+        F.broadcast(churned), "content_hash", "left_semi"
     )
-    cand = fence(
-        candidate_pairs(buckets, pcfg).join(
-            reps.select(
-                F.col("url").alias("url_a"),
-                F.col("content_hash").alias("hash_a"),
-            ),
+    touched_keys = fence(
+        new_posts.select("band_id", "band_hash")
+        .unionByName(
+            _hash_postings(churned_sigs, pcfg).select("band_id", "band_hash")
+        )
+        .distinct()
+    )
+    if stats_out is not None:
+        stats_out["touched_buckets"] = touched_keys.count()
+        stats_out["total_buckets"] = (
+            _hash_postings(old_sigs.unionByName(new_sigs), pcfg)
+            .select("band_id", "band_hash")
+            .distinct()
+            .count()
+        )
+
+    # member postings of touched buckets: broadcast-filtered narrow
+    # explode of the sigs state — no shuffle reaches untouched keys
+    old_member_posts = fence(
+        _hash_postings(old_sigs, pcfg).join(
+            F.broadcast(touched_keys), ["band_id", "band_hash"], "left_semi"
+        )
+    )
+    all_member_posts = old_member_posts.unionByName(new_posts)
+    member_hashes = all_member_posts.select("content_hash").distinct()
+
+    # reps for member hashes, before and after this snapshot
+    if old_keys is not None:
+        old_reps_members = fence(
+            old_keys.join(F.broadcast(member_hashes), "content_hash", "left_semi")
+            .groupBy("content_hash")
+            .agg(F.min("url").alias("url"))
+        )
+    else:
+        old_reps_members = spark.createDataFrame(
+            [], "content_hash long, url string"
+        )
+    new_reps_members = fence(
+        old_reps_members.withColumnRenamed("url", "old_url")
+        .join(batch_min, "content_hash", "outer")
+        .select(
+            "content_hash",
+            F.least("old_url", "new_min_url").alias("url"),
+        )
+    )
+
+    # --- touched-bucket pair counts, before vs after ----------------- #
+    old_membership = old_member_posts.join(
+        old_reps_members, "content_hash"
+    ).select("url", "band_id", "band_hash")
+    new_membership = all_member_posts.join(
+        new_reps_members, "content_hash"
+    ).select("url", "band_id", "band_hash")
+    old_counts = candidate_pair_counts(old_membership, pcfg)
+    new_counts = fence(candidate_pair_counts(new_membership, pcfg))
+    if stats_out is not None:
+        stats_out["cand_pairs"] = new_counts.count()
+
+    changed = fence(
+        old_counts.withColumnRenamed("cnt", "old_c")
+        .join(
+            new_counts.withColumnRenamed("cnt", "new_c"),
+            ["url_a", "url_b"],
+            "full_outer",
+        )
+        .select(
             "url_a",
-        ).join(
-            reps.select(
-                F.col("url").alias("url_b"),
-                F.col("content_hash").alias("hash_b"),
-            ),
             "url_b",
-        ).select(
+            (
+                F.coalesce("new_c", F.lit(0)) - F.coalesce("old_c", F.lit(0))
+            ).cast("int").alias("d"),
+        )
+        .where("d != 0")
+    )
+
+    # prior logical counts for the changed pairs (broadcast-filtered
+    # scan of the refcount deltas); presence flips where the running
+    # sum crosses zero
+    old_pair_cnt = (
+        catalog.read_all(spark, "pair_cnt")
+        if has_state
+        else spark.createDataFrame([], _PAIR_CNT_SCHEMA)
+    )
+    prior_tot = old_pair_cnt.join(
+        F.broadcast(changed.select("url_a", "url_b")),
+        ["url_a", "url_b"],
+        "left_semi",
+    ).groupBy("url_a", "url_b").agg(F.sum("d").alias("prior"))
+    judged = fence(
+        changed.join(prior_tot, ["url_a", "url_b"], "left").select(
             "url_a",
             "url_b",
-            F.least("hash_a", "hash_b").alias("hash_lo"),
-            F.greatest("hash_a", "hash_b").alias("hash_hi"),
+            F.coalesce("prior", F.lit(0)).alias("prior"),
+            (F.coalesce("prior", F.lit(0)) + F.col("d")).alias("new_tot"),
+        )
+    )
+    # refcount invariant: counts are bucket multiplicities, never
+    # negative — a violation means touched-bucket detection missed a
+    # membership change, which would silently corrupt the pair set
+    n_bad = judged.where("prior < 0 or new_tot < 0").count()
+    if n_bad:
+        raise RuntimeError(
+            f"incremental_dedup: {n_bad} pair refcount(s) went negative — "
+            "touched-bucket bookkeeping is inconsistent with pair_cnt state"
+        )
+    added = fence(judged.where("prior = 0 and new_tot > 0").select("url_a", "url_b"))
+    removed = fence(judged.where("prior > 0 and new_tot = 0").select("url_a", "url_b"))
+    if stats_out is not None:
+        stats_out["pairs_added"] = added.count()
+        stats_out["pairs_removed"] = removed.count()
+
+    # persist the refcount delta BEFORE the CC stage so the dissolved-
+    # component edge regathering below reads a consistent logical state
+    if has_state:
+        catalog.append(changed, "pair_cnt")
+    else:
+        catalog.write(changed, "pair_cnt")
+
+    def _attach_hashes(pairs: DataFrame) -> DataFrame:
+        """(url_a, url_b) -> + hash_lo, hash_hi via a broadcast-
+        filtered scan of the (url, content_hash) state."""
+        urls = (
+            pairs.select(F.col("url_a").alias("url"))
+            .unionByName(pairs.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        uh = all_keys.join(F.broadcast(urls), "url", "left_semi")
+        return (
+            pairs.join(
+                uh.select(
+                    F.col("url").alias("url_a"),
+                    F.col("content_hash").alias("hash_a"),
+                ),
+                "url_a",
+            )
+            .join(
+                uh.select(
+                    F.col("url").alias("url_b"),
+                    F.col("content_hash").alias("hash_b"),
+                ),
+                "url_b",
+            )
+            .select(
+                "url_a",
+                "url_b",
+                F.least("hash_a", "hash_b").alias("hash_lo"),
+                F.greatest("hash_a", "hash_b").alias("hash_hi"),
+            )
+        )
+
+    # --- incremental stage 2: verify only memo misses ---------------- #
+    added_h = fence(_attach_hashes(added))
+    to_verify = fence(
+        added_h.join(
+            old_verdicts.join(
+                F.broadcast(added_h.select("hash_lo", "hash_hi")),
+                ["hash_lo", "hash_hi"],
+                "left_semi",
+            ),
+            ["hash_lo", "hash_hi"],
+            "left_anti",
         )
     )
     if stats_out is not None:
-        stats_out["cand_pairs"] = cand.count()
-
-    # --- incremental stage 2: verify only memo misses ---------------- #
-    to_verify = fence(
-        cand.join(old_verdicts, ["hash_lo", "hash_hi"], "left_anti")
-    )
-    if stats_out is not None:
-        new_urls = new_normed.select("url").distinct()
         stats_out["pairs_verified"] = to_verify.count()
         stats_out["old_x_old_reverified"] = (
             to_verify.join(
-                new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_anti"
+                F.broadcast(new_urls.withColumnRenamed("url", "url_a")),
+                "url_a",
+                "left_anti",
             )
             .join(
-                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_anti"
+                F.broadcast(new_urls.withColumnRenamed("url", "url_b")),
+                "url_b",
+                "left_anti",
             )
             .count()
         )
 
+    ver_urls = (
+        to_verify.select(F.col("url_a").alias("url"))
+        .unionByName(to_verify.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    ver_texts = new_normed.select("url", "norm_text")
+    if old_normed is not None:
+        # stored norm_text is already the verify window — verify_pairs
+        # re-windows identically, so verdicts match batch bit-for-bit
+        ver_texts = old_normed.select("url", "norm_text").unionByName(ver_texts)
+    ver_texts = ver_texts.join(F.broadcast(ver_urls), "url", "left_semi")
     new_verdicts = fence(
-        verify_pairs(to_verify.select("url_a", "url_b"), all_normed, pcfg)
+        verify_pairs(to_verify.select("url_a", "url_b"), ver_texts, pcfg)
         .join(to_verify, ["url_a", "url_b"])
         .select("hash_lo", "hash_hi", "is_dup")
     )
-    verdicts_state = old_verdicts.unionByName(new_verdicts)
+    verdicts_all = old_verdicts.unionByName(new_verdicts)
 
-    dup_edges = (
-        cand.join(verdicts_state, ["hash_lo", "hash_hi"])
+    added_dup = (
+        added_h.join(verdicts_all, ["hash_lo", "hash_hi"])
         .where("is_dup")
         .select("url_a", "url_b")
     )
-    all_edges = fence(exact_edges.unionByName(dup_edges))
+    # removed pairs were present => verified at some earlier snapshot,
+    # so their verdicts are guaranteed memo hits
+    removed_dup = fence(
+        _attach_hashes(removed)
+        .join(verdicts_all, ["hash_lo", "hash_hi"])
+        .where("is_dup")
+        .select("url_a", "url_b")
+    )
 
-    cc = connected_components(all_edges, all_nodes=all_normed.select("url"))
-    # canonical election over the INGEST-TIME n_chars (full-text
-    # length; the stored norm_text is only the verify window, so
-    # length() over it would elect differently than batch)
-    clusters = elect_canonical(cc, all_normed, n_chars_col="n_chars")
+    # --- exact-dup edges for the new docs ---------------------------- #
+    # same-content docs always share a component; edges to historical
+    # reps keep connectivity identical to batch's member->current-rep
+    # stars (CC depends only on connectivity, election only on keys)
+    new_exact = (
+        new_normed.join(batch_min, "content_hash")
+        .where(F.col("url") != F.col("new_min_url"))
+        .select(F.col("new_min_url").alias("url_a"), F.col("url").alias("url_b"))
+        .unionByName(
+            merged_reps.where(F.col("old_rep_url").isNotNull()).select(
+                F.col("old_rep_url").alias("url_a"),
+                F.col("new_min_url").alias("url_b"),
+            )
+        )
+    )
+    added_edges = added_dup.unionByName(new_exact)
 
-    # persist state as DELTA snapshots — the tables are append-only by
-    # construction, so each ingest writes O(new) rows, not cumulative
-    # state; read_all unions the deltas back (compaction = an
-    # occasional full catalog.write of the union). clusters is an
-    # OUTPUT table: always a full snapshot.
-    if old_normed is None:
-        catalog.write(new_sigs, "sigs")
-        catalog.write(new_slim, "normed")
-        catalog.write(new_verdicts, "verdicts")
+    # --- label-seeded connected components --------------------------- #
+    prior_clusters = catalog.read(spark, "clusters") if has_state else None
+    slim_all = (
+        old_normed.select("url", "content_hash", "n_chars", "warc_ts").unionByName(
+            new_slim.select("url", "content_hash", "n_chars", "warc_ts")
+        )
+        if old_normed is not None
+        else new_slim.select("url", "content_hash", "n_chars", "warc_ts")
+    )
+
+    if prior_clusters is None:
+        if stats_out is not None:
+            stats_out["dissolved_components"] = 0
+        labels = connected_components(added_edges, all_nodes=new_urls)
+        clusters = elect_canonical(labels, slim_all, n_chars_col="n_chars")
     else:
+        prior_labels = prior_clusters.select("url", "cluster_id")
+
+        n_removed_dup = removed_dup.count()
+        if n_removed_dup:
+            # dissolve every component that relied on a retired pair:
+            # its members become individual nodes and their CURRENT
+            # edges are regathered from the refcount + verdict state
+            rm_urls = (
+                removed_dup.select(F.col("url_a").alias("url"))
+                .unionByName(removed_dup.select(F.col("url_b").alias("url")))
+                .distinct()
+            )
+            dissolved_labels = fence(
+                prior_labels.join(F.broadcast(rm_urls), "url", "left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            dissolved = fence(
+                prior_labels.join(
+                    F.broadcast(dissolved_labels), "cluster_id", "left_semi"
+                ).select("url")
+            )
+            # live dup edges incident to dissolved members (pair_cnt
+            # read_all includes this snapshot's delta, appended above)
+            pc_all = catalog.read_all(spark, "pair_cnt")
+            inc_pairs = fence(
+                pc_all.join(
+                    F.broadcast(dissolved.withColumnRenamed("url", "url_a")),
+                    "url_a",
+                    "left_semi",
+                )
+                .unionByName(
+                    pc_all.join(
+                        F.broadcast(dissolved.withColumnRenamed("url", "url_b")),
+                        "url_b",
+                        "left_semi",
+                    )
+                )
+                .groupBy("url_a", "url_b")
+                .agg(F.sum("d").alias("tot"))
+                .where("tot > 0")
+                .select("url_a", "url_b")
+            )
+            m_dup_edges = (
+                _attach_hashes(inc_pairs)
+                .join(verdicts_all, ["hash_lo", "hash_hi"])
+                .where("is_dup")
+                .select("url_a", "url_b")
+            )
+            # exact-hash stars incident to dissolved members: all docs
+            # sharing a dissolved member's content hash re-star on the
+            # current (min-url) rep
+            dis_hashes = (
+                all_keys.join(F.broadcast(dissolved), "url", "left_semi")
+                .select("content_hash")
+                .distinct()
+            )
+            same_hash_docs = all_keys.join(
+                F.broadcast(dis_hashes), "content_hash", "left_semi"
+            )
+            reps_h = same_hash_docs.groupBy("content_hash").agg(
+                F.min("url").alias("rep_url")
+            )
+            m_exact_edges = (
+                same_hash_docs.join(reps_h, "content_hash")
+                .where(F.col("url") != F.col("rep_url"))
+                .select(
+                    F.col("rep_url").alias("url_a"), F.col("url").alias("url_b")
+                )
+            )
+            graph_edges_raw = added_edges.unionByName(m_dup_edges).unionByName(
+                m_exact_edges
+            )
+        else:
+            dissolved_labels = spark.createDataFrame([], "cluster_id string")
+            dissolved = spark.createDataFrame([], "url string")
+            graph_edges_raw = added_edges
+        if stats_out is not None:
+            stats_out["dissolved_components"] = dissolved_labels.count()
+
+        # supernode mapping: dissolved members and new docs stand for
+        # themselves; every other endpoint collapses to its prior
+        # component label. Labels are min-member urls, so the small
+        # graph's min-label CC emits exactly the batch labels.
+        own_nodes = fence(
+            dissolved.unionByName(new_urls).distinct().withColumn(
+                "own", F.lit(True)
+            )
+        )
+        ep_urls = fence(
+            graph_edges_raw.select(F.col("url_a").alias("url"))
+            .unionByName(graph_edges_raw.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        ep_labels = prior_labels.join(F.broadcast(ep_urls), "url", "left_semi")
+        ep_map = fence(
+            ep_urls.join(own_nodes, "url", "left")
+            .join(ep_labels, "url", "left")
+            .select(
+                "url",
+                F.coalesce("own", F.lit(False)).alias("own"),
+                F.when(F.coalesce("own", F.lit(False)), F.col("url"))
+                .otherwise(F.coalesce("cluster_id", F.col("url")))
+                .alias("node"),
+            )
+        )
+        graph_edges = (
+            graph_edges_raw.join(
+                ep_map.select(
+                    F.col("url").alias("url_a"), F.col("node").alias("node_a")
+                ),
+                "url_a",
+            )
+            .join(
+                ep_map.select(
+                    F.col("url").alias("url_b"), F.col("node").alias("node_b")
+                ),
+                "url_b",
+            )
+            .where(F.col("node_a") != F.col("node_b"))
+            .select(
+                F.col("node_a").alias("url_a"), F.col("node_b").alias("url_b")
+            )
+        )
+        small_nodes = (
+            own_nodes.select("url")
+            .unionByName(ep_map.select(F.col("node").alias("url")))
+            .distinct()
+        )
+        cc_small = fence(connected_components(graph_edges, all_nodes=small_nodes))
+
+        # affected prior components: dissolved ones, plus every intact
+        # component that appeared as a supernode (it may have merged,
+        # gained members, or changed label) — their rows are dropped
+        # and re-elected; everything else carries over untouched
+        supernode_labels = (
+            ep_map.where(~F.col("own"))
+            .select(F.col("node").alias("cluster_id"))
+            .distinct()
+        )
+        affected_labels = fence(
+            supernode_labels.unionByName(dissolved_labels).distinct()
+        )
+
+        own_rows = cc_small.join(
+            F.broadcast(own_nodes.select("url")), "url", "left_semi"
+        )
+        label_moves = cc_small.join(
+            F.broadcast(
+                supernode_labels.withColumnRenamed("cluster_id", "url")
+            ),
+            "url",
+            "left_semi",
+        ).select(
+            F.col("url").alias("old_label"), F.col("cluster_id").alias("new_label")
+        )
+        intact_rows = (
+            prior_labels.withColumnRenamed("cluster_id", "old_label")
+            .join(F.broadcast(label_moves), "old_label")
+            .select("url", F.col("new_label").alias("cluster_id"))
+            # a dissolved member's prior row must not resurface through
+            # an intact-component relabel (disjoint by construction —
+            # dissolved components are never supernodes — but keep the
+            # guard cheap and explicit)
+            .join(F.broadcast(own_nodes.select("url")), "url", "left_anti")
+        )
+        affected_members = fence(own_rows.unionByName(intact_rows))
+        aff_slim = slim_all.join(
+            F.broadcast(affected_members.select("url")), "url", "left_semi"
+        )
+        aff_clusters = elect_canonical(
+            affected_members, aff_slim, n_chars_col="n_chars"
+        )
+        untouched = prior_clusters.join(
+            F.broadcast(affected_labels), "cluster_id", "left_anti"
+        )
+        clusters = untouched.select(
+            "url", "cluster_id", "is_canonical"
+        ).unionByName(aff_clusters.select("url", "cluster_id", "is_canonical"))
+
+    # --- persist state deltas + full clusters output ----------------- #
+    if has_state:
         catalog.append(new_sigs, "sigs")
         catalog.append(new_slim, "normed")
         catalog.append(new_verdicts, "verdicts")
+    else:
+        catalog.write(new_sigs, "sigs")
+        catalog.write(new_slim, "normed")
+        catalog.write(new_verdicts, "verdicts")
     catalog.write(clusters, "clusters")
-    out = catalog.read(spark, "clusters")
-    for df in fences:
-        df.unpersist()
-    return out
+
+    # bound the delta chains (read_all unions every delta since the
+    # last full snapshot; unbounded chains grow listing + scan cost).
+    # pair_cnt compacts to its aggregated running sums — zero-sum pairs
+    # drop out (an absent pair reads as count 0, identically).
+    if compact_every:
+        for table in ("sigs", "normed", "verdicts"):
+            catalog.maybe_compact(spark, table, max_deltas=compact_every)
+        catalog.maybe_compact(
+            spark,
+            "pair_cnt",
+            max_deltas=compact_every,
+            transform=lambda df: df.groupBy("url_a", "url_b")
+            .agg(F.sum("d").cast("int").alias("d"))
+            .where("d != 0"),
+        )
+
+    return catalog.read(spark, "clusters")
