@@ -69,6 +69,76 @@ def gif_header(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
 
 
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Spec-conformant GIF LZW encoder (greedy longest-match), written
+    independently of the decoder under test: emits clear first, grows
+    the code width when the NEXT code could exceed it, and clears when
+    the table hits 4096."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out_bits.append((clear, width))
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], width))
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4096:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([byte])
+    if run:
+        out_bits.append((table[run], width))
+    out_bits.append((end, width))
+    big = pos = 0
+    for code, wd in out_bits:
+        big |= code << pos
+        pos += wd
+    return big.to_bytes((pos + 7) // 8, "little")
+
+
+def gif_palette(px_idx: "np.ndarray", palette: "np.ndarray",
+                interlace: bool = False) -> bytes:
+    """Single-frame GIF89a writer: global color table (padded to a
+    power of two), optional interlaced row order, real LZW data in
+    255-byte sub-blocks."""
+    h, w = px_idx.shape
+    n_pal = len(palette)
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    pal = np.zeros((2 ** pal_bits, 3), dtype=np.uint8)
+    pal[:n_pal] = palette
+    mcs = max(2, pal_bits)
+    rows = px_idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = px_idx[order]
+    lzw = _gif_lzw_encode(rows.tobytes(), mcs)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                0x40 if interlace else 0)
+        + bytes([mcs]) + blocks + b"\x00\x3b"
+    )
+
+
 def jpeg_header(w: int, h: int) -> bytes:
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
     # padded with fill bytes before SOF to exercise the 0xFF-skip path
@@ -121,8 +191,21 @@ def build_rows() -> tuple[list[dict], list[dict]]:
         px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
         add(f"img://png/{i}", png_rgb(px), "png", w, h, bmp_thumb_size(w, h))
         add(f"img://bmp/{i}", bmp_rgb(px), "bmp", w, h, bmp_thumb_size(w, h))
-    # header-only formats (entropy decode needs a codec): NULL thumb
-    add("img://gif/0", gif_header(320, 200), "gif", 320, 200, None)
+    # GIF: REAL LZW frames (round 4) — plain and interlaced, palette
+    # sizes straddling a code-width boundary; thumb size by the same
+    # BMP arithmetic (decoded canvas = logical screen)
+    for i, (w, h, n_colors, inter) in enumerate(
+        [(150, 90, 256, False), (40, 33, 5, True)]
+    ):
+        palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+        add(
+            f"img://gif/{i}",
+            gif_palette(idx, palette, interlace=inter),
+            "gif", w, h, bmp_thumb_size(w, h),
+        )
+    # header-only / truncated GIF (no frame): NULL thumb
+    add("img://gif/hdr", gif_header(320, 200), "gif", 320, 200, None)
     add("img://jpeg/0", jpeg_header(1920, 1080), "jpeg", 1920, 1080, None)
     add("img://webp/0", webp_vp8l(800, 600), "webp", 800, 600, None)
     # junk / truncated

@@ -1,11 +1,12 @@
-"""Incremental-ingest throughput evidence (round 3).
+"""Incremental-ingest throughput evidence.
 
-The incremental design memoizes the Python-heavy stages (signatures,
-verification) by content hash and recomputes the JVM-cheap relational
-stages over cumulative state (docs/PLANS.md "INCREMENTAL INGEST").
-This bench measures the claim that matters at 100 TB: absorbing a new
-snapshot costs a small fraction of a full batch re-run, while
-producing EXACTLY the batch clusters.
+Round 4: the ingest is O(new + touched) end-to-end — signatures and
+verification memoized by content hash, candidate pairs regenerated
+only for touched buckets via per-pair bucket refcounts, and connected
+components label-seeded from the prior snapshot (docs/PLANS.md
+"INCREMENTAL INGEST"). This bench measures the claim that matters at
+100 TB: absorbing a new snapshot costs a small fraction of a full
+batch re-run, while producing EXACTLY the batch clusters.
 
 Protocol: one seeded corpus of --rows pages, hash-split ~10:1 into
 snapshot 1 / snapshot 2. Measure (same session, warmed workers):
@@ -105,6 +106,22 @@ def main() -> None:
     sym_diff = (
         inc_clusters.exceptAll(batch_clusters).count()
         + batch_clusters.exceptAll(inc_clusters).count()
+    )
+
+    # touched-bucket fraction (round 4): denominator computed POST-HOC
+    # from the sigs state so the timed ingest never shuffles O(total)
+    from ufuzzy_spark.config import PipelineConfig
+    from ufuzzy_spark.streaming.incremental import _hash_postings
+
+    total_buckets = (
+        _hash_postings(cat.read_all(spark, "sigs"), PipelineConfig())
+        .select("band_id", "band_hash")
+        .distinct()
+        .count()
+    )
+    stats["total_buckets"] = total_buckets
+    stats["touched_bucket_frac"] = round(
+        stats.get("touched_buckets", 0) / max(total_buckets, 1), 4
     )
 
     result = {

@@ -15,6 +15,13 @@ process.stdin.on('data', (d) => (input += d));
 process.stdin.on('end', () => {
   const cases = JSON.parse(input);
   const out = cases.map((c) => {
+    // collate mode: pin the oracle's Intl.Collator('en',
+    // {numeric, base}) approximation (uFuzzy.mjs:18,151) — returns
+    // the sign of compare(a, b) per pair
+    if (c.collate) {
+      const coll = new Intl.Collator('en', { numeric: true, sensitivity: 'base' });
+      return { cmp: c.collate.map(([a, b]) => Math.sign(coll.compare(a, b))) };
+    }
     const opts = Object.assign({}, c.opts || {});
     if (opts.compare === 'plain') opts.compare = plainCmp;
     if (opts.interIns === 'inf') opts.interIns = Infinity;

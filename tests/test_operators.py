@@ -899,6 +899,29 @@ def test_pixel_decode_round_trip():
     bmp = encode_bmp(px)
     assert parse_image_header(bmp) == ("bmp", 17, 23)
     assert np.array_equal(decode_pixels(bmp), px)
+
+    # GIF round-trip vs the fixture generator's independent encoder
+    # (round 4): palette frames, interlace, and the repetitive stream
+    # that exercises the KwKwK code and dictionary growth
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "scripts"))
+    from gen_image_fixture import gif_palette
+
+    rng = np.random.RandomState(99)
+    for (w, h, nc, inter) in [(70, 45, 256, False), (33, 40, 5, True)]:
+        palette = rng.randint(0, 256, size=(nc, 3)).astype(np.uint8)
+        idx = rng.randint(0, nc, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(
+            decode_pixels(gif_palette(idx, palette, interlace=inter)),
+            palette[idx],
+        ), (w, h, nc, inter)
+    rep = np.tile(np.arange(3, dtype=np.uint8), 2000).reshape(50, 120)
+    pal3 = np.array([[9, 8, 7], [1, 2, 3], [4, 5, 6]], np.uint8)
+    assert np.array_equal(decode_pixels(gif_palette(rep, pal3)), pal3[rep])
+    # header-only GIF (no frame) stays honestly undecodable
+    assert decode_pixels(b"GIF89a" + b"\x14\x00\x0a\x00" + b"\x00" * 3) is None
     thumb = make_thumbnail(png_bytes(px, 2, [0]), 8)  # step 3 -> 8x6
     assert np.array_equal(decode_pixels(thumb), px[::3, ::3])
     assert make_thumbnail(b"\xff\xd8\xff\xe0junk", 8) is None

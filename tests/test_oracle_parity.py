@@ -314,3 +314,46 @@ def test_intra_filt_hook_discards_matches():
     strict = uf2.info(idxs, hay, "cat")
     assert strict["idx"] == [0, 2]
     assert ("cat", "cxat", 0) in seen
+
+
+def test_collation_matches_intl_collator():
+    """The rank-tiebreak collator must match the REAL
+    Intl.Collator('en', {numeric, sensitivity:'base'}) the reference
+    installs as its default compare (uFuzzy.mjs:18,151) — numeric
+    runs, leading zeros, case/accent ties, multi-char base folds
+    (straße/STRASSE), and UCA punct < digits < letters ordering. The
+    residual divergence is pinned explicitly: non-ASCII NUMBER SYMBOLS
+    (vulgar fractions: DUCET orders by denominator) fall outside the
+    approximation, and nothing else."""
+    from ufuzzy_spark.oracle import collate_cmp
+
+    pairs = [
+        ("a1", "a01"), ("a01", "a1"), ("1.5", "1.10"), ("file2", "file10"),
+        ("Apple", "apple"), ("éclair", "eclair"), ("a", "1"), ("1", "a"),
+        ("", "a"), ("a", ""), ("a-b", "ab"), ("a b", "ab"), ("a.b", "a b"),
+        ("x2y3", "x2y10"), ("0", "00"), ("007", "7"), ("v1.2.3", "v1.10.0"),
+        ("doc 9", "doc 10"), ("a1b", "a1a"), ("Ångström", "angstrom"),
+        ("naïve", "naive"), ("a'b", "ab"), ("can't", "cant"), ("z", "Z"),
+        ("item-2", "item-10"), ("2a", "10"), ("12ab", "12ac"),
+        ("abc", "abd"), ("ab", "abc"), ("ł", "l"), ("ß", "ss"),
+        ("œuf", "oeuf"), ("½", "1"), ("a  b", "a b"), ("tab\tx", "tab x"),
+        ("123abc", "123"), ("-1", "1"), ("a-1", "a1"), ("a_b", "a b"),
+        ("*x", "x"), ("x!", "x"), ("3.14", "3,14"), ("no9", "no10"),
+        ("æon", "aeon"), ("STRASSE", "straße"), ("r2d2", "r2d10"),
+        ("...", ".."), ("a0b", "a00b"),
+        # documented bounded divergence: vulgar fractions (DUCET
+        # orders ½ before ¼ by denominator; we compare codepoints)
+        ("¼", "½"),
+    ]
+    ref = run_reference([{"collate": pairs, "haystack": [], "needle": ""}])
+    js = ref[0]["cmp"]
+    known_divergent = {("¼", "½")}
+    bad = []
+    for (a, b), j in zip(pairs, js):
+        p = collate_cmp(a, b)
+        p = (p > 0) - (p < 0)
+        if p != j and (a, b) not in known_divergent:
+            bad.append((a, b, j, p))
+        if (a, b) in known_divergent:
+            assert p != j, "divergence healed — remove it from the pin"
+    assert not bad, bad

@@ -7,11 +7,13 @@ decode: ``parse_image_header`` reads format/width/height straight
 from the container headers (PNG IHDR, JPEG SOF markers, GIF logical
 screen, WebP VP8/VP8L/VP8X, BMP DIB) in pure Python — no image
 library needed. PIXEL decoding is real for PNG (zlib inflate +
-scanline unfilter, ``decode_pixels``) and BMP (24/32-bit DIB rows);
-thumbnails are nearest-neighbor downsamples re-encoded as 24-bit BMP
-(``make_thumbnail``). JPEG/GIF/WebP entropy decoding needs a codec
-this container doesn't ship — those formats carry a NULL thumb (an
-honest gap, not a stub).
+scanline unfilter, ``decode_pixels``), BMP (24/32-bit DIB rows) and
+GIF (``_gif_lzw`` + palette lookup — LZW is the one entropy codec
+small enough to implement honestly here); thumbnails are
+nearest-neighbor downsamples re-encoded as 24-bit BMP
+(``make_thumbnail``). JPEG/WebP entropy decoding needs a codec this
+container doesn't ship — those formats carry a NULL thumb (an honest
+gap, not a stub).
 """
 
 from __future__ import annotations
@@ -154,15 +156,67 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def _gif_lzw(data: bytes, min_code_size: int) -> bytearray | None:
+    """GIF-variant LZW decode (spec Appendix F): codes packed
+    LSB-first, clear/end codes at 2^m and 2^m+1, code width grows from
+    m+1 to a hard 12-bit cap as the table fills (then freezes until
+    the next clear). Returns the palette-index stream, or None on a
+    corrupt stream."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    width = min_code_size + 1
+    table = list(literals)
+    prev: bytes | None = None
+    out = bytearray()
+    while pos + width <= nbits:
+        code = (big >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(literals)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
 def decode_pixels(payload: bytes) -> np.ndarray | None:
     """REAL pixel decode to an (h, w, 3) uint8 RGB array — pure
     Python/NumPy, no codec library.
 
     Supported: PNG (8-bit gray/truecolor/RGBA, non-interlaced; zlib
-    IDAT inflate + scanline unfilter) and BMP (24/32-bit uncompressed,
-    top-down or bottom-up). JPEG/GIF/WebP entropy decoding needs a
-    codec this container doesn't have — those return None and the
-    thumbnail column is null (an honest gap, not a fake)."""
+    IDAT inflate + scanline unfilter), BMP (24/32-bit uncompressed,
+    top-down or bottom-up), and GIF (first frame: LZW decode +
+    palette lookup, interlace supported, transparency ignored —
+    thumbnails render the transparent index as its palette color).
+    JPEG/WebP entropy decoding needs a codec this container doesn't
+    have — those return None and the thumbnail column is null (an
+    honest gap, not a fake)."""
     import struct
     import zlib
 
@@ -197,6 +251,67 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
             if ch == 1:
                 return np.repeat(px, 3, axis=2)
             return np.ascontiguousarray(px[:, :, :3])
+
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            sw, sh = _le(p[6:8]), _le(p[8:10])
+            packed, bg = p[10], p[11]
+            i = 13
+            gct = None
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                gct = np.frombuffer(p[i : i + 3 * n], np.uint8).reshape(n, 3)
+                i += 3 * n
+            # walk blocks to the FIRST image descriptor
+            while i < len(p):
+                b0 = p[i]
+                if b0 == 0x21:  # extension: label + len-prefixed subblocks
+                    i += 2
+                    while i < len(p) and p[i]:
+                        i += 1 + p[i]
+                    i += 1
+                elif b0 == 0x2C:
+                    left, top = _le(p[i + 1 : i + 3]), _le(p[i + 3 : i + 5])
+                    fw, fh = _le(p[i + 5 : i + 7]), _le(p[i + 7 : i + 9])
+                    fpk = p[i + 9]
+                    i += 10
+                    pal = gct
+                    if fpk & 0x80:  # local color table wins
+                        n = 2 << (fpk & 0x07)
+                        pal = np.frombuffer(
+                            p[i : i + 3 * n], np.uint8
+                        ).reshape(n, 3)
+                        i += 3 * n
+                    if pal is None or not (sw and sh and fw and fh):
+                        return None
+                    mcs = p[i]
+                    i += 1
+                    lzw = bytearray()
+                    while i < len(p) and p[i]:
+                        lzw += p[i + 1 : i + 1 + p[i]]
+                        i += 1 + p[i]
+                    idx = _gif_lzw(bytes(lzw), mcs)
+                    if idx is None or len(idx) < fw * fh:
+                        return None
+                    frame = np.frombuffer(
+                        bytes(idx[: fw * fh]), np.uint8
+                    ).reshape(fh, fw)
+                    if fpk & 0x40:  # de-interlace (4-pass row order)
+                        order = np.concatenate(
+                            [np.arange(o, fh, s) for o, s in
+                             ((0, 8), (4, 8), (2, 4), (1, 2))]
+                        )
+                        de = np.empty_like(frame)
+                        de[order] = frame
+                        frame = de
+                    frame = np.minimum(frame, len(pal) - 1)
+                    # compose the frame onto the logical-screen canvas
+                    canvas = np.full((sh, sw), min(bg, len(pal) - 1), np.uint8)
+                    y1, x1 = min(top + fh, sh), min(left + fw, sw)
+                    canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
+                    return np.ascontiguousarray(pal[canvas])
+                else:  # 0x3B trailer / junk
+                    break
+            return None
 
         if p[:2] == b"BM" and len(p) >= 54:
             data_off = _le(p[10:14])

@@ -87,25 +87,51 @@ def lazy_repeat(chars: str, limit) -> str:
     return chars + "{0,%d}?" % int(limit)
 
 
+# multi-char base folds Intl.Collator treats as primary-equal but
+# latinize (a 1:1 char map) cannot express; applied after .lower()
+_COLLATE_FOLDS = (("ß", "ss"), ("œ", "oe"), ("æ", "ae"))
+
+
 def _collate_key(s: str):
-    """Approximate Intl.Collator('en', numeric+base) sort key."""
+    """Approximate Intl.Collator('en', numeric+base) sort key
+    (differentially pinned vs node in tests/test_oracle_parity.py).
+
+    Element classes follow UCA primary-weight regions — punctuation/
+    symbols (0) < numbers (1: decimal runs compared as ints, then
+    other numeric chars) < letters (2, accent/case-folded). Bounded
+    residual divergence: non-ASCII number symbols (vulgar fractions
+    etc.) and letters outside the latinize table compare by folded
+    codepoint, not DUCET weight."""
     folded = latinize(s).lower()
-    return [
-        (0, int(run)) if run.isdigit() else (1, run)
-        for run in re.findall(r"\d+|\D+", folded)
-    ]
+    for k, v in _COLLATE_FOLDS:
+        if k in folded:
+            folded = folded.replace(k, v)
+    key = []
+    i, n = 0, len(folded)
+    while i < n:
+        c = folded[i]
+        if c.isdecimal():
+            j = i + 1
+            while j < n and folded[j].isdecimal():
+                j += 1
+            key.append((1, 0, int(folded[i:j])))
+            i = j
+        elif c.isalpha():
+            key.append((2, 0, ord(c)))
+            i += 1
+        elif c.isnumeric():
+            key.append((1, 1, ord(c)))
+            i += 1
+        else:
+            key.append((0, 0, ord(c)))
+            i += 1
+    return key
 
 
 def collate_cmp(a: str, b: str) -> int:
     """Numeric-aware, case/accent-insensitive compare (uFuzzy.mjs:18)."""
     ka, kb = _collate_key(a), _collate_key(b)
-    for xa, xb in zip(ka, kb):
-        if xa == xb:
-            continue
-        if xa[0] != xb[0]:
-            return -1 if xa[0] < xb[0] else 1
-        return -1 if xa[1] < xb[1] else 1
-    return (len(ka) > len(kb)) - (len(ka) < len(kb))
+    return -1 if ka < kb else (1 if ka > kb else 0)
 
 
 def _islice(p: str, lo, hi=None):

@@ -175,7 +175,10 @@ def incremental_dedup(
       already-over-cap bucket; the `incremental_ingest` driver entry
       pins 0 (the expensive stage never re-pairs old x old),
     - ``new_sigs_computed``: never-seen texts signed this snapshot,
-    - ``touched_buckets`` / ``total_buckets``: blast-radius fraction,
+    - ``touched_buckets``: blast radius (fraction = divide by the
+      post-hoc distinct bucket count over the sigs state),
+    - ``reps_churned``: existing content hashes whose representative
+      url changed (a smaller url arrived for known content),
     - ``dissolved_components``: prior components re-solved because a
       pair they relied on was retired.
     """
@@ -343,13 +346,11 @@ def incremental_dedup(
         .distinct()
     )
     if stats_out is not None:
+        # the denominator (total distinct buckets) is an O(total)
+        # distinct — callers wanting the fraction compute it post-hoc
+        # from the sigs state (scripts/incremental_bench.py) so the
+        # ingest path never shuffles O(total) rows even for stats
         stats_out["touched_buckets"] = touched_keys.count()
-        stats_out["total_buckets"] = (
-            _hash_postings(old_sigs.unionByName(new_sigs), pcfg)
-            .select("band_id", "band_hash")
-            .distinct()
-            .count()
-        )
 
     # member postings of touched buckets: broadcast-filtered narrow
     # explode of the sigs state — no shuffle reaches untouched keys
