@@ -43,6 +43,15 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=1_100_000)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--input", default=None, help="pages parquet to use")
+    ap.add_argument(
+        "--split-mod",
+        type=int,
+        default=11,
+        help="hash-split modulus: snapshot 2 = urls with "
+        "pmod(xxhash64(url), N) = N-1 (N=11 -> ~9%% of docs; use a "
+        "larger N to hold the ABSOLUTE snapshot size constant across "
+        "corpus sizes — the flat-absorption experiment)",
+    )
     ap.add_argument("--state-dir", default="/dev/shm/ufz_inc_cat")
     ap.add_argument("--local-dir", default="/dev/shm/ufz_spark_local")
     ap.add_argument("--out-md", default="BENCH/BASELINE.md")
@@ -75,9 +84,10 @@ def main() -> None:
     )
 
     pages = spark.read.parquet(input_path)
-    # deterministic ~10:1 split; dup pairs straddle the cut naturally
-    snap1 = pages.where(F.pmod(F.xxhash64("url"), F.lit(11)) < 10)
-    snap2 = pages.where(F.pmod(F.xxhash64("url"), F.lit(11)) >= 10)
+    # deterministic hash split; dup pairs straddle the cut naturally
+    m = args.split_mod
+    snap1 = pages.where(F.pmod(F.xxhash64("url"), F.lit(m)) < m - 1)
+    snap2 = pages.where(F.pmod(F.xxhash64("url"), F.lit(m)) >= m - 1)
     n1, n2 = snap1.count(), snap2.count()
 
     def timed(fn):

@@ -125,6 +125,9 @@ def verify_pairs(
     )
 
     vu = make_verify_udf(pcfg)
+    # passthrough: any extra columns on `pairs` (e.g. the incremental
+    # path's hash_lo/hash_hi) ride through, so callers don't pay a
+    # join-back against the pair table to recover them
     return joined.withColumn("v", vu("norm_a", "norm_b")).select(
-        "url_a", "url_b", "v.*"
+        *pairs.columns, "v.*"
     )

@@ -165,9 +165,10 @@ def incremental_dedup(
 
     ``stats_out``, when given, is filled with:
 
-    - ``cand_pairs``: pairs generated from TOUCHED buckets this
-      snapshot (the blast radius — includes old x old pairs whose
-      counts were re-derived relationally),
+    - ``cand_pairs``: pair-count DELTA rows from touched buckets this
+      snapshot (clique-delta for under-cap buckets, full before/after
+      re-count for over-cap ones; includes old x old pairs whose
+      counts shifted),
     - ``pairs_added`` / ``pairs_removed``: logical pair-set delta,
     - ``pairs_verified``: verdict-memo misses actually verified,
     - ``old_x_old_reverified``: verified pairs whose BOTH urls predate
@@ -382,48 +383,125 @@ def incremental_dedup(
         )
     )
 
-    # --- touched-bucket pair counts, before vs after ----------------- #
-    old_membership = old_member_posts.join(
-        old_reps_members, "content_hash"
-    ).select("url", "band_id", "band_hash")
-    new_membership = all_member_posts.join(
-        new_reps_members, "content_hash"
-    ).select("url", "band_id", "band_hash")
-    old_counts = candidate_pair_counts(old_membership, pcfg)
-    new_counts = fence(candidate_pair_counts(new_membership, pcfg))
-    if stats_out is not None:
-        stats_out["cand_pairs"] = new_counts.count()
-
-    changed = fence(
-        old_counts.withColumnRenamed("cnt", "old_c")
-        .join(
-            new_counts.withColumnRenamed("cnt", "new_c"),
-            ["url_a", "url_b"],
-            "full_outer",
-        )
-        .select(
-            "url_a",
-            "url_b",
-            (
-                F.coalesce("new_c", F.lit(0)) - F.coalesce("old_c", F.lit(0))
-            ).cast("int").alias("d"),
-        )
-        .where("d != 0")
+    # --- touched-bucket pair-count delta ----------------------------- #
+    # per-row frame: every (touched bucket, member hash) with its rep
+    # url before (null for new hashes) and after this snapshot
+    mem = all_member_posts.join(
+        old_reps_members.withColumnRenamed("url", "old_url"),
+        "content_hash",
+        "left",
+    ).join(
+        new_reps_members.withColumnRenamed("url", "new_url"), "content_hash"
     )
 
-    # prior logical counts for the changed pairs (broadcast-filtered
-    # scan of the refcount deltas); presence flips where the running
-    # sum crosses zero
+    if old_keys is None:
+        # first ingest: every bucket is new — one full count pass (the
+        # clique-delta join below would emit the same volume, slower)
+        changed = fence(
+            candidate_pair_counts(
+                mem.select(F.col("new_url").alias("url"), "band_id", "band_hash"),
+                pcfg,
+            )
+            .select("url_a", "url_b", F.col("cnt").alias("d"))
+        )
+    else:
+        # split touched buckets by whether the cap machinery can fire.
+        # A bucket at <= max_bucket_size members on BOTH sides emits the
+        # full clique (no salt overflow: every salt group <= bucket
+        # size <= cap; no phase-2 truncation) — so its pair DELTA is
+        # exactly the clique edges incident to changed members, and the
+        # bucket never needs re-expansion. Over-cap buckets keep the
+        # full before/after re-count (cap ranks shift arbitrarily).
+        cap = pcfg.max_bucket_size
+        w_b = Window.partitionBy("band_id", "band_hash")
+        sized = mem.withColumn(
+            "new_size", F.count(F.lit(1)).over(w_b)
+        ).withColumn("old_size", F.count("old_url").over(w_b))
+        direct = sized.where(F.greatest("old_size", "new_size") <= cap)
+        capped = sized.where(F.greatest("old_size", "new_size") > cap)
+
+        # direct path: edges of the NEW clique incident to an added/
+        # rekeyed member (+1), edges of the OLD clique incident to a
+        # removed/rekeyed member (-1). The (a < m) guard emits a
+        # changed-changed pair exactly once.
+        def _clique_delta(members: DataFrame, sign: int) -> DataFrame:
+            a_rows = members.where("m_chg").select(
+                "band_id", "band_hash", F.col("m").alias("a")
+            )
+            return (
+                a_rows.join(members, ["band_id", "band_hash"])
+                .where(
+                    (F.col("a") != F.col("m"))
+                    & (~F.col("m_chg") | (F.col("a") < F.col("m")))
+                )
+                .select(
+                    F.least("a", "m").alias("url_a"),
+                    F.greatest("a", "m").alias("url_b"),
+                    F.lit(sign).alias("d"),
+                )
+            )
+
+        new_side = direct.select(
+            "band_id",
+            "band_hash",
+            F.col("new_url").alias("m"),
+            (
+                F.col("old_url").isNull()
+                | (F.col("old_url") != F.col("new_url"))
+            ).alias("m_chg"),
+        )
+        old_side = direct.where(F.col("old_url").isNotNull()).select(
+            "band_id",
+            "band_hash",
+            F.col("old_url").alias("m"),
+            (F.col("old_url") != F.col("new_url")).alias("m_chg"),
+        )
+        capped_old = candidate_pair_counts(
+            capped.where(F.col("old_url").isNotNull()).select(
+                F.col("old_url").alias("url"), "band_id", "band_hash"
+            ),
+            pcfg,
+        )
+        capped_new = candidate_pair_counts(
+            capped.select(F.col("new_url").alias("url"), "band_id", "band_hash"),
+            pcfg,
+        )
+        changed = fence(
+            _clique_delta(new_side, 1)
+            .unionByName(_clique_delta(old_side, -1))
+            .unionByName(
+                capped_new.select("url_a", "url_b", F.col("cnt").alias("d"))
+            )
+            .unionByName(
+                capped_old.select("url_a", "url_b", (-F.col("cnt")).alias("d"))
+            )
+            .groupBy("url_a", "url_b")
+            .agg(F.sum("d").cast("int").alias("d"))
+            .where("d != 0")
+        )
+    if stats_out is not None:
+        stats_out["cand_pairs"] = changed.count()
+
+    # prior logical counts for the changed pairs: the refcount state is
+    # scanned under a broadcast filter of HASHED pair keys (8 bytes/key
+    # instead of two url strings; hash false-positives only widen the
+    # scan result and are dropped by the exact left join below)
     old_pair_cnt = (
         catalog.read_all(spark, "pair_cnt")
         if has_state
         else spark.createDataFrame([], _PAIR_CNT_SCHEMA)
     )
-    prior_tot = old_pair_cnt.join(
-        F.broadcast(changed.select("url_a", "url_b")),
-        ["url_a", "url_b"],
-        "left_semi",
-    ).groupBy("url_a", "url_b").agg(F.sum("d").alias("prior"))
+    prior_tot = (
+        old_pair_cnt.join(
+            F.broadcast(
+                changed.select(F.xxhash64("url_a", "url_b").alias("pk"))
+            ),
+            F.xxhash64("url_a", "url_b") == F.col("pk"),
+            "left_semi",
+        )
+        .groupBy("url_a", "url_b")
+        .agg(F.sum("d").alias("prior"))
+    )
     judged = fence(
         changed.join(prior_tot, ["url_a", "url_b"], "left").select(
             "url_a",
@@ -454,28 +532,34 @@ def incremental_dedup(
     else:
         catalog.write(changed, "pair_cnt")
 
-    def _attach_hashes(pairs: DataFrame) -> DataFrame:
-        """(url_a, url_b) -> + hash_lo, hash_hi via a broadcast-
-        filtered scan of the (url, content_hash) state."""
-        urls = (
-            pairs.select(F.col("url_a").alias("url"))
-            .unionByName(pairs.select(F.col("url_b").alias("url")))
-            .distinct()
-        )
-        uh = all_keys.join(F.broadcast(urls), "url", "left_semi")
+    def _attach_hashes(pairs: DataFrame, url_map: DataFrame | None = None) -> DataFrame:
+        """(url_a, url_b) -> + hash_lo, hash_hi. ``url_map`` is a
+        (content_hash, url) frame covering the pairs' urls (the small
+        in-memory reps frames for touched-bucket pairs); default falls
+        back to a broadcast-filtered scan of the (url, content_hash)
+        state."""
+        if url_map is not None:
+            uh = url_map.select("url", "content_hash")
+        else:
+            urls = (
+                pairs.select(F.col("url_a").alias("url"))
+                .unionByName(pairs.select(F.col("url_b").alias("url")))
+                .distinct()
+            )
+            uh = all_keys.join(F.broadcast(urls), "url", "left_semi")
         return (
             pairs.join(
-                uh.select(
+                F.broadcast(uh.select(
                     F.col("url").alias("url_a"),
                     F.col("content_hash").alias("hash_a"),
-                ),
+                )),
                 "url_a",
             )
             .join(
-                uh.select(
+                F.broadcast(uh.select(
                     F.col("url").alias("url_b"),
                     F.col("content_hash").alias("hash_b"),
-                ),
+                )),
                 "url_b",
             )
             .select(
@@ -487,17 +571,18 @@ def incremental_dedup(
         )
 
     # --- incremental stage 2: verify only memo misses ---------------- #
-    added_h = fence(_attach_hashes(added))
-    to_verify = fence(
-        added_h.join(
-            old_verdicts.join(
-                F.broadcast(added_h.select("hash_lo", "hash_hi")),
-                ["hash_lo", "hash_hi"],
-                "left_semi",
-            ),
+    # added pairs live in touched buckets, so their urls are covered by
+    # the small in-memory reps frame — no state scan to attach hashes
+    added_h = fence(_attach_hashes(added, url_map=new_reps_members))
+    memo_hits = fence(
+        old_verdicts.join(
+            F.broadcast(added_h.select("hash_lo", "hash_hi")),
             ["hash_lo", "hash_hi"],
-            "left_anti",
+            "left_semi",
         )
+    )
+    to_verify = fence(
+        added_h.join(memo_hits, ["hash_lo", "hash_hi"], "left_anti")
     )
     if stats_out is not None:
         stats_out["pairs_verified"] = to_verify.count()
@@ -526,23 +611,43 @@ def incremental_dedup(
         # re-windows identically, so verdicts match batch bit-for-bit
         ver_texts = old_normed.select("url", "norm_text").unionByName(ver_texts)
     ver_texts = ver_texts.join(F.broadcast(ver_urls), "url", "left_semi")
+    # hash keys ride THROUGH the verify UDF stage (verify_pairs
+    # passthrough) — no million-row join-back to recover them
     new_verdicts = fence(
-        verify_pairs(to_verify.select("url_a", "url_b"), ver_texts, pcfg)
-        .join(to_verify, ["url_a", "url_b"])
-        .select("hash_lo", "hash_hi", "is_dup")
+        verify_pairs(
+            to_verify.select("url_a", "url_b", "hash_lo", "hash_hi"),
+            ver_texts,
+            pcfg,
+        ).select("hash_lo", "hash_hi", "is_dup")
     )
     verdicts_all = old_verdicts.unionByName(new_verdicts)
 
+    # verdicts for the added pairs = the (small) memo hits + this
+    # snapshot's fresh verdicts — never a join against the full
+    # verdicts state
+    verdicts_added = memo_hits.select(
+        "hash_lo", "hash_hi", "is_dup"
+    ).unionByName(new_verdicts)
     added_dup = (
-        added_h.join(verdicts_all, ["hash_lo", "hash_hi"])
+        added_h.join(F.broadcast(verdicts_added), ["hash_lo", "hash_hi"])
         .where("is_dup")
         .select("url_a", "url_b")
     )
     # removed pairs were present => verified at some earlier snapshot,
-    # so their verdicts are guaranteed memo hits
+    # so their verdicts are guaranteed hits in a broadcast-filtered
+    # scan of the verdict state
+    removed_h = fence(_attach_hashes(removed, url_map=old_reps_members))
     removed_dup = fence(
-        _attach_hashes(removed)
-        .join(verdicts_all, ["hash_lo", "hash_hi"])
+        removed_h.join(
+            F.broadcast(
+                old_verdicts.join(
+                    F.broadcast(removed_h.select("hash_lo", "hash_hi")),
+                    ["hash_lo", "hash_hi"],
+                    "left_semi",
+                )
+            ),
+            ["hash_lo", "hash_hi"],
+        )
         .where("is_dup")
         .select("url_a", "url_b")
     )
@@ -623,9 +728,20 @@ def incremental_dedup(
                 .where("tot > 0")
                 .select("url_a", "url_b")
             )
+            inc_pairs_h = fence(_attach_hashes(inc_pairs))
             m_dup_edges = (
-                _attach_hashes(inc_pairs)
-                .join(verdicts_all, ["hash_lo", "hash_hi"])
+                inc_pairs_h.join(
+                    F.broadcast(
+                        verdicts_all.join(
+                            F.broadcast(
+                                inc_pairs_h.select("hash_lo", "hash_hi")
+                            ),
+                            ["hash_lo", "hash_hi"],
+                            "left_semi",
+                        )
+                    ),
+                    ["hash_lo", "hash_hi"],
+                )
                 .where("is_dup")
                 .select("url_a", "url_b")
             )
