@@ -20,14 +20,18 @@ blast radius, not the cumulative corpus:
   touched-key set is derivable from the new + churned hashes alone.
   Untouched buckets emit bit-identical pairs (lsh._pair_emissions is a
   pure function of the member-url set), so candidate generation reruns
-  ONLY over touched buckets.
+  ONLY over touched buckets — and within those, buckets at or under
+  max_bucket_size on both sides (where the cap machinery provably
+  cannot fire) emit only the clique-delta edges incident to their
+  changed members; only over-cap buckets pay a full before/after
+  re-count.
 - ``pair_cnt`` state (url_a, url_b, d): append-only refcount deltas;
   the logical count of a pair = sum(d) = the number of buckets
-  currently generating it (candidate_pair_counts). Re-counting touched
-  buckets before/after and appending the difference maintains the
-  EXACT batch pair set: pairs appear when their count rises from 0 and
-  disappear when it returns to 0 (cap-rank shifts inside an over-cap
-  bucket can retire a pair another bucket doesn't carry).
+  currently generating it (candidate_pair_counts). Applying the
+  touched-bucket count difference as a delta maintains the EXACT batch
+  pair set: pairs appear when their count rises from 0 and disappear
+  when it returns to 0 (cap-rank shifts inside an over-cap bucket can
+  retire a pair another bucket doesn't carry).
 - ``verdicts`` state (hash_lo, hash_hi, is_dup): bounded-edit
   verification is a pure function of the two normalized windows, so
   each unordered text pair is verified exactly once, ever. Only ADDED
@@ -99,6 +103,19 @@ _PAIR_CNT_SCHEMA = "url_a string, url_b string, d int"
 _REPS_SCHEMA = "content_hash long, old_rep_url string"
 
 _CONFIG_GUARD = "_PIPELINE_CONFIG.json"
+
+# data-dependent broadcast guard: the blast-radius frames are usually
+# small (broadcast-filtered scans are the whole design), but a LARGE
+# snapshot — above all the first ingest of a big corpus — can push a
+# "small" side past what the driver can build as a hashed relation
+# (measured: 58M touched-bucket keys OOMed a 12g driver at 2.9M docs).
+# Above this row bound we fall back to a plain join and let AQE plan
+# it; that is also the correct plan at that size.
+_BCAST_MAX_ROWS = 8_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BCAST_MAX_ROWS else df
 
 
 def _check_config_guard(catalog: LocalParquetCatalog, pcfg: PipelineConfig):
@@ -222,6 +239,7 @@ def incremental_dedup(
         .withColumn("content_hash", F.xxhash64("norm_text"))
     )
     new_urls = new_normed.select("url")
+    n_new = new_normed.count()  # cheap: counts the checkpointed blocks
 
     has_state = catalog.exists("sigs")
     if has_state:
@@ -246,7 +264,7 @@ def incremental_dedup(
         # content clusters — refuse loudly rather than corrupt state
         n_dup_urls = (
             old_keys.select("url")
-            .join(F.broadcast(new_urls), "url", "left_semi")
+            .join(_maybe_broadcast(new_urls, n_new), "url", "left_semi")
             .count()
         )
         if n_dup_urls:
@@ -281,7 +299,7 @@ def incremental_dedup(
     if old_keys is not None:
         old_reps_batch = fence(
             old_keys.join(
-                F.broadcast(batch_min.select("content_hash")),
+                _maybe_broadcast(batch_min.select("content_hash"), n_new),
                 "content_hash",
                 "left_semi",
             )
@@ -307,7 +325,7 @@ def incremental_dedup(
     sig_inputs = (
         new_normed.withColumn("rn", F.row_number().over(first_per_hash))
         .where("rn = 1")
-        .join(F.broadcast(new_hashes), "content_hash", "left_semi")
+        .join(_maybe_broadcast(new_hashes, n_new), "content_hash", "left_semi")
         # banded_signatures keys its output by the passthrough "url"
         # column — feed the content hash as that key so the sig table
         # is text-addressed (memo survives representative churn)
@@ -337,7 +355,7 @@ def incremental_dedup(
     # --- touched buckets: keys gaining a new hash or a churned rep -- #
     new_posts = _hash_postings(new_sigs, pcfg)
     churned_sigs = old_sigs.join(
-        F.broadcast(churned), "content_hash", "left_semi"
+        _maybe_broadcast(churned, n_new), "content_hash", "left_semi"
     )
     touched_keys = fence(
         new_posts.select("band_id", "band_hash")
@@ -346,27 +364,43 @@ def incremental_dedup(
         )
         .distinct()
     )
+    n_touched = touched_keys.count()
     if stats_out is not None:
         # the denominator (total distinct buckets) is an O(total)
         # distinct — callers wanting the fraction compute it post-hoc
         # from the sigs state (scripts/incremental_bench.py) so the
         # ingest path never shuffles O(total) rows even for stats
-        stats_out["touched_buckets"] = touched_keys.count()
+        stats_out["touched_buckets"] = n_touched
 
     # member postings of touched buckets: broadcast-filtered narrow
-    # explode of the sigs state — no shuffle reaches untouched keys
-    old_member_posts = fence(
-        _hash_postings(old_sigs, pcfg).join(
-            F.broadcast(touched_keys), ["band_id", "band_hash"], "left_semi"
+    # explode of the sigs state — no shuffle reaches untouched keys.
+    # First ingest short-circuits: there IS no old state to filter,
+    # and the touched set is the whole corpus (too big to broadcast).
+    if old_keys is not None:
+        old_member_posts = fence(
+            _hash_postings(old_sigs, pcfg).join(
+                _maybe_broadcast(touched_keys, n_touched),
+                ["band_id", "band_hash"],
+                "left_semi",
+            )
         )
-    )
+        n_member_posts = old_member_posts.count() + n_touched
+    else:
+        old_member_posts = spark.createDataFrame(
+            [], "band_id int, band_hash bigint, content_hash long"
+        )
+        n_member_posts = n_touched
     all_member_posts = old_member_posts.unionByName(new_posts)
     member_hashes = all_member_posts.select("content_hash").distinct()
 
     # reps for member hashes, before and after this snapshot
     if old_keys is not None:
         old_reps_members = fence(
-            old_keys.join(F.broadcast(member_hashes), "content_hash", "left_semi")
+            old_keys.join(
+                _maybe_broadcast(member_hashes, n_member_posts),
+                "content_hash",
+                "left_semi",
+            )
             .groupBy("content_hash")
             .agg(F.min("url").alias("url"))
         )
@@ -486,30 +520,41 @@ def incremental_dedup(
     # scanned under a broadcast filter of HASHED pair keys (8 bytes/key
     # instead of two url strings; hash false-positives only widen the
     # scan result and are dropped by the exact left join below)
-    old_pair_cnt = (
-        catalog.read_all(spark, "pair_cnt")
-        if has_state
-        else spark.createDataFrame([], _PAIR_CNT_SCHEMA)
-    )
-    prior_tot = (
-        old_pair_cnt.join(
-            F.broadcast(
-                changed.select(F.xxhash64("url_a", "url_b").alias("pk"))
-            ),
-            F.xxhash64("url_a", "url_b") == F.col("pk"),
-            "left_semi",
+    n_changed = changed.count()
+    if not has_state:
+        # first ingest: no prior counts exist — every delta row IS the
+        # logical count (and building a corpus-sized broadcast to probe
+        # an empty state would OOM the driver)
+        judged = fence(
+            changed.select(
+                "url_a",
+                "url_b",
+                F.lit(0).cast("long").alias("prior"),
+                F.col("d").cast("long").alias("new_tot"),
+            )
         )
-        .groupBy("url_a", "url_b")
-        .agg(F.sum("d").alias("prior"))
-    )
-    judged = fence(
-        changed.join(prior_tot, ["url_a", "url_b"], "left").select(
-            "url_a",
-            "url_b",
-            F.coalesce("prior", F.lit(0)).alias("prior"),
-            (F.coalesce("prior", F.lit(0)) + F.col("d")).alias("new_tot"),
+    else:
+        old_pair_cnt = catalog.read_all(spark, "pair_cnt")
+        prior_tot = (
+            old_pair_cnt.join(
+                _maybe_broadcast(
+                    changed.select(F.xxhash64("url_a", "url_b").alias("pk")),
+                    n_changed,
+                ),
+                F.xxhash64("url_a", "url_b") == F.col("pk"),
+                "left_semi",
+            )
+            .groupBy("url_a", "url_b")
+            .agg(F.sum("d").alias("prior"))
         )
-    )
+        judged = fence(
+            changed.join(prior_tot, ["url_a", "url_b"], "left").select(
+                "url_a",
+                "url_b",
+                F.coalesce("prior", F.lit(0)).alias("prior"),
+                (F.coalesce("prior", F.lit(0)) + F.col("d")).alias("new_tot"),
+            )
+        )
     # refcount invariant: counts are bucket multiplicities, never
     # negative — a violation means touched-bucket detection missed a
     # membership change, which would silently corrupt the pair set
@@ -532,12 +577,16 @@ def incremental_dedup(
     else:
         catalog.write(changed, "pair_cnt")
 
-    def _attach_hashes(pairs: DataFrame, url_map: DataFrame | None = None) -> DataFrame:
+    def _attach_hashes(
+        pairs: DataFrame,
+        url_map: DataFrame | None = None,
+        n_map: int = _BCAST_MAX_ROWS + 1,
+    ) -> DataFrame:
         """(url_a, url_b) -> + hash_lo, hash_hi. ``url_map`` is a
         (content_hash, url) frame covering the pairs' urls (the small
-        in-memory reps frames for touched-bucket pairs); default falls
-        back to a broadcast-filtered scan of the (url, content_hash)
-        state."""
+        in-memory reps frames for touched-bucket pairs, broadcast when
+        ``n_map`` rows allow); default falls back to a broadcast-
+        filtered scan of the (url, content_hash) state."""
         if url_map is not None:
             uh = url_map.select("url", "content_hash")
         else:
@@ -547,19 +596,20 @@ def incremental_dedup(
                 .distinct()
             )
             uh = all_keys.join(F.broadcast(urls), "url", "left_semi")
+            n_map = _BCAST_MAX_ROWS  # bounded by the (small) pair set
         return (
             pairs.join(
-                F.broadcast(uh.select(
+                _maybe_broadcast(uh.select(
                     F.col("url").alias("url_a"),
                     F.col("content_hash").alias("hash_a"),
-                )),
+                ), n_map),
                 "url_a",
             )
             .join(
-                F.broadcast(uh.select(
+                _maybe_broadcast(uh.select(
                     F.col("url").alias("url_b"),
                     F.col("content_hash").alias("hash_b"),
-                )),
+                ), n_map),
                 "url_b",
             )
             .select(
@@ -573,27 +623,45 @@ def incremental_dedup(
     # --- incremental stage 2: verify only memo misses ---------------- #
     # added pairs live in touched buckets, so their urls are covered by
     # the small in-memory reps frame — no state scan to attach hashes
-    added_h = fence(_attach_hashes(added, url_map=new_reps_members))
-    memo_hits = fence(
-        old_verdicts.join(
-            F.broadcast(added_h.select("hash_lo", "hash_hi")),
-            ["hash_lo", "hash_hi"],
-            "left_semi",
+    added_h = fence(
+        _attach_hashes(added, url_map=new_reps_members, n_map=n_member_posts)
+    )
+    n_added = added_h.count()
+    if not has_state:
+        # first ingest: the memo is empty — skip the (corpus-sized)
+        # broadcast probe entirely
+        memo_hits = spark.createDataFrame([], _VERDICTS_SCHEMA)
+        to_verify = added_h
+    else:
+        memo_hits = fence(
+            old_verdicts.join(
+                _maybe_broadcast(
+                    added_h.select("hash_lo", "hash_hi"), n_added
+                ),
+                ["hash_lo", "hash_hi"],
+                "left_semi",
+            )
         )
-    )
-    to_verify = fence(
-        added_h.join(memo_hits, ["hash_lo", "hash_hi"], "left_anti")
-    )
+        to_verify = fence(
+            added_h.join(memo_hits, ["hash_lo", "hash_hi"], "left_anti")
+        )
+    n_to_verify = to_verify.count()
     if stats_out is not None:
-        stats_out["pairs_verified"] = to_verify.count()
+        stats_out["pairs_verified"] = n_to_verify
         stats_out["old_x_old_reverified"] = (
-            to_verify.join(
-                F.broadcast(new_urls.withColumnRenamed("url", "url_a")),
+            0
+            if not has_state
+            else to_verify.join(
+                _maybe_broadcast(
+                    new_urls.withColumnRenamed("url", "url_a"), n_new
+                ),
                 "url_a",
                 "left_anti",
             )
             .join(
-                F.broadcast(new_urls.withColumnRenamed("url", "url_b")),
+                _maybe_broadcast(
+                    new_urls.withColumnRenamed("url", "url_b"), n_new
+                ),
                 "url_b",
                 "left_anti",
             )
@@ -610,7 +678,9 @@ def incremental_dedup(
         # stored norm_text is already the verify window — verify_pairs
         # re-windows identically, so verdicts match batch bit-for-bit
         ver_texts = old_normed.select("url", "norm_text").unionByName(ver_texts)
-    ver_texts = ver_texts.join(F.broadcast(ver_urls), "url", "left_semi")
+    ver_texts = ver_texts.join(
+        _maybe_broadcast(ver_urls, 2 * n_to_verify), "url", "left_semi"
+    )
     # hash keys ride THROUGH the verify UDF stage (verify_pairs
     # passthrough) — no million-row join-back to recover them
     new_verdicts = fence(
@@ -629,14 +699,18 @@ def incremental_dedup(
         "hash_lo", "hash_hi", "is_dup"
     ).unionByName(new_verdicts)
     added_dup = (
-        added_h.join(F.broadcast(verdicts_added), ["hash_lo", "hash_hi"])
+        added_h.join(
+            _maybe_broadcast(verdicts_added, n_added), ["hash_lo", "hash_hi"]
+        )
         .where("is_dup")
         .select("url_a", "url_b")
     )
     # removed pairs were present => verified at some earlier snapshot,
     # so their verdicts are guaranteed hits in a broadcast-filtered
     # scan of the verdict state
-    removed_h = fence(_attach_hashes(removed, url_map=old_reps_members))
+    removed_h = fence(
+        _attach_hashes(removed, url_map=old_reps_members, n_map=n_member_posts)
+    )
     removed_dup = fence(
         removed_h.join(
             F.broadcast(
@@ -785,12 +859,16 @@ def incremental_dedup(
                 "own", F.lit(True)
             )
         )
+        n_own = own_nodes.count()
         ep_urls = fence(
             graph_edges_raw.select(F.col("url_a").alias("url"))
             .unionByName(graph_edges_raw.select(F.col("url_b").alias("url")))
             .distinct()
         )
-        ep_labels = prior_labels.join(F.broadcast(ep_urls), "url", "left_semi")
+        n_eps = ep_urls.count()
+        ep_labels = prior_labels.join(
+            _maybe_broadcast(ep_urls, n_eps), "url", "left_semi"
+        )
         ep_map = fence(
             ep_urls.join(own_nodes, "url", "left")
             .join(ep_labels, "url", "left")
@@ -841,7 +919,7 @@ def incremental_dedup(
         )
 
         own_rows = cc_small.join(
-            F.broadcast(own_nodes.select("url")), "url", "left_semi"
+            _maybe_broadcast(own_nodes.select("url"), n_own), "url", "left_semi"
         )
         label_moves = cc_small.join(
             F.broadcast(
@@ -860,11 +938,18 @@ def incremental_dedup(
             # an intact-component relabel (disjoint by construction —
             # dissolved components are never supernodes — but keep the
             # guard cheap and explicit)
-            .join(F.broadcast(own_nodes.select("url")), "url", "left_anti")
+            .join(
+                _maybe_broadcast(own_nodes.select("url"), n_own),
+                "url",
+                "left_anti",
+            )
         )
         affected_members = fence(own_rows.unionByName(intact_rows))
+        n_aff = affected_members.count()
         aff_slim = slim_all.join(
-            F.broadcast(affected_members.select("url")), "url", "left_semi"
+            _maybe_broadcast(affected_members.select("url"), n_aff),
+            "url",
+            "left_semi",
         )
         aff_clusters = elect_canonical(
             affected_members, aff_slim, n_chars_col="n_chars"
