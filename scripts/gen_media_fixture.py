@@ -80,6 +80,30 @@ def ogg_page0(packet: bytes) -> bytes:
     )
 
 
+def ogg_data_page(granule: int, seq: int, eos: bool = True) -> bytes:
+    """Ogg continuation/final page carrying a granule position (total
+    samples at that page — the duration source)."""
+    body = b"\x11" * 10  # opaque packet bytes (no OggS false sync)
+    return (
+        b"OggS" + bytes([0, 0x04 if eos else 0x00])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", 0xFEED, seq)
+        + b"\x00" * 4
+        + bytes([1, len(body)])
+        + body
+    )
+
+
+def mp3_xing(kbps_idx: int, n_frames: int, stereo: bool,
+             audio_bytes: int) -> bytes:
+    """MPEG1 Layer III frame with a Xing VBR tag (frame count set) at
+    the post-side-info offset (32 B stereo / 17 B mono)."""
+    hdr = bytes([0xFF, 0xFB, kbps_idx << 4, 0x00 if stereo else 0xC0])
+    side = 32 if stereo else 17
+    xing = b"Xing" + struct.pack(">I", 1) + struct.pack(">I", n_frames)
+    return hdr + b"\x00" * side + xing + b"\x00" * audio_bytes
+
+
 def vorbis_id(rate: int, ch: int) -> bytes:
     return (
         b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
@@ -165,12 +189,27 @@ def build_rows() -> tuple[list[dict], list[dict]]:
     add("med://mp3/1", mp3_cbr(14, 4000, 0, stereo=False), "mp3",
         4000 * 8 // 320, 44100, 1, 0, 0, None, None)
 
-    # OGG page 0: Vorbis / Opus identification headers (rate+channels
-    # only — duration lives on the last page's granule, not parsed)
+    # OGG page 0 only: Vorbis / Opus identification headers — granule
+    # of the single page is 0, so duration honestly reads 0
     add("med://ogg/0", ogg_page0(vorbis_id(44100, 2)), "ogg",
         0, 44100, 2, 0, 0, None, None)
     add("med://ogg/1", ogg_page0(opus_head(48000, 1)), "ogg",
         0, 48000, 1, 0, 0, None, None)
+    # OGG with a final data page (round 4): duration = last-page
+    # granule / rate (Vorbis) or (granule - preskip) / 48k (Opus;
+    # opus_head above writes preskip 312)
+    add("med://ogg/2",
+        ogg_page0(vorbis_id(44100, 2)) + ogg_data_page(441000, 1), "ogg",
+        441000 * 1000 // 44100, 44100, 2, 0, 0, None, None)
+    add("med://ogg/3",
+        ogg_page0(opus_head(48000, 1)) + ogg_data_page(48312, 1), "ogg",
+        (48312 - 312) * 1000 // 48000, 48000, 1, 0, 0, None, None)
+    # MP3 with a Xing VBR tag (round 4): exact frame count wins over
+    # the CBR byte estimate (1152 samples/frame at MPEG1 L3)
+    add("med://mp3/2", mp3_xing(9, 383, True, 20000), "mp3",
+        383 * 1152 * 1000 // 44100, 44100, 2, 0, 0, None, None)
+    add("med://mp3/3", mp3_xing(9, 77, False, 3000), "mp3",
+        77 * 1152 * 1000 // 44100, 44100, 1, 0, 0, None, None)
 
     # MP4: mvhd timescale/duration + tkhd 16.16 canvas
     add("med://mp4/0", mp4_moov(600, 3000, 640, 360), "mp4",

@@ -206,6 +206,28 @@ def test_parse_media_header_real_formats():
         "mp3", 16000 * 8 // 128, 44100, 2, 0, 0)
     assert parse_media_header(mp4_moov(90000, 450000, 1280, 720)) == (
         "mp4", 5000, 0, 0, 1280, 720)
+
+    # round 4: Xing VBR frame count beats the CBR byte estimate, and
+    # OGG duration comes from the last page's granule position
+    from gen_media_fixture import (
+        mp3_xing,
+        ogg_data_page,
+        ogg_page0,
+        opus_head,
+        vorbis_id,
+    )
+
+    assert parse_media_header(mp3_xing(9, 200, True, 5000)) == (
+        "mp3", 200 * 1152 * 1000 // 44100, 44100, 2, 0, 0)
+    assert parse_media_header(mp3_xing(9, 10, False, 500)) == (
+        "mp3", 10 * 1152 * 1000 // 44100, 44100, 1, 0, 0)
+    v = ogg_page0(vorbis_id(22050, 1)) + ogg_data_page(22050 * 7, 1)
+    assert parse_media_header(v) == ("ogg", 7000, 22050, 1, 0, 0)
+    o = ogg_page0(opus_head(16000, 2)) + ogg_data_page(48312, 1)
+    assert parse_media_header(o) == ("ogg", 1000, 16000, 2, 0, 0)
+    # page-0-only stays duration 0 (granule of page 0 is 0)
+    assert parse_media_header(ogg_page0(vorbis_id(44100, 2)))[1] == 0
+
     assert parse_media_header(b"garbage bytes here") == ("unknown", 0, 0, 0, 0, 0)
     assert parse_media_header(b"") == ("unknown", 0, 0, 0, 0, 0)
     assert parse_media_header(b"fLaC\x80\x00\x22") == ("unknown", 0, 0, 0, 0, 0)

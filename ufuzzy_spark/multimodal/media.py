@@ -6,8 +6,10 @@ headers in pure Python — no codec library. REAL parses:
 
 - WAV  (RIFF chunk walk: fmt sample rate/channels/bits, data size)
 - FLAC (STREAMINFO bitfields: rate 20b, channels 3b, total samples 36b)
-- MP3  (ID3v2 skip + first MPEG frame header; CBR duration estimate)
-- OGG  (page-0 codec id header: Vorbis channels/rate, OpusHead)
+- MP3  (ID3v2 skip + first MPEG frame header; Xing/Info VBR frame
+        count when present, else CBR duration estimate)
+- OGG  (page-0 codec id header: Vorbis channels/rate, OpusHead;
+        duration from the last page's granule position)
 - MP4  (ISO-BMFF box walk: ftyp brand, moov/mvhd timescale+duration,
         trak/tkhd 16.16 fixed-point canvas)
 
@@ -132,24 +134,58 @@ def parse_media_header(
                 hz_i = (p[start + 2] >> 2) & 0x3
                 if kbps and hz_i < 3:
                     rate = _MP3_HZ[version][hz_i]
-                    ch = 1 if (p[start + 3] >> 6) == 3 else 2
-                    dur = (len(p) - start) * 8 // kbps  # ms, CBR
+                    mono = (p[start + 3] >> 6) == 3
+                    ch = 1 if mono else 2
+                    # Xing/Info VBR tag (round 4): exact frame count
+                    # beats the CBR byte estimate when present. Offset
+                    # past the Layer III side info: MPEG1 17/32 bytes
+                    # (mono/stereo), MPEG2/2.5 9/17.
+                    side = (17 if mono else 32) if version == 3 else (
+                        9 if mono else 17
+                    )
+                    xo = start + 4 + side
+                    dur = 0
+                    if p[xo : xo + 4] in (b"Xing", b"Info") and (
+                        _be(p[xo + 4 : xo + 8]) & 1
+                    ):
+                        n_frames = _be(p[xo + 8 : xo + 12])
+                        spf = 1152 if version == 3 else 576
+                        dur = n_frames * spf * 1000 // rate
+                    if not dur:
+                        dur = (len(p) - start) * 8 // kbps  # ms, CBR
                     return "mp3", dur, rate, ch, 0, 0
 
         # OGG: page 0 carries the codec identification header right
-        # after the 27-byte page header + segment table
+        # after the 27-byte page header + segment table; duration comes
+        # from the LAST page's granule position (round 4) — total PCM
+        # samples for Vorbis, 48 kHz samples minus preskip for Opus
         if p[:4] == b"OggS" and len(p) > 27:
+            def _last_granule() -> int:
+                i = p.rfind(b"OggS")
+                # validate the candidate really is a page header
+                # (version byte 0, header fits) — a false sync inside
+                # packet data yields granule 0, not a crash
+                while i > 0:
+                    if i + 27 <= len(p) and p[i + 4] == 0:
+                        g = _le(p[i + 6 : i + 14])
+                        if g != (1 << 64) - 1:  # -1 = no packet ends here
+                            return g
+                    i = p.rfind(b"OggS", 0, i)
+                return 0
+
             seg = 27 + p[26]  # n_segments lacing bytes
             if p[seg : seg + 7] == b"\x01vorbis":
                 # id header: version(4) channels(1) rate(4) ...
-                return (
-                    "ogg", 0, _le(p[seg + 12 : seg + 16]), p[seg + 11], 0, 0
-                )
+                rate = _le(p[seg + 12 : seg + 16])
+                dur = _last_granule() * 1000 // rate if rate else 0
+                return "ogg", dur, rate, p[seg + 11], 0, 0
             if p[seg : seg + 8] == b"OpusHead":
-                # version(1) channels(1) preskip(2) input_rate(4)
-                return (
-                    "ogg", 0, _le(p[seg + 12 : seg + 16]), p[seg + 9], 0, 0
-                )
+                # version(1) channels(1) preskip(2) input_rate(4);
+                # granule is ALWAYS at 48 kHz for Opus
+                preskip = _le(p[seg + 10 : seg + 12])
+                g = _last_granule()
+                dur = max(g - preskip, 0) * 1000 // 48000
+                return "ogg", dur, _le(p[seg + 12 : seg + 16]), p[seg + 9], 0, 0
 
         # MP4 / ISO-BMFF: box walk (ftyp at top; mvhd/tkhd under moov)
         if len(p) >= 12 and p[4:8] == b"ftyp":
