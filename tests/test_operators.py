@@ -301,11 +301,76 @@ def test_incremental_matches_batch(spark, tmp_path):
     p1 = spark.createDataFrame(pages[:half])
     p2 = spark.createDataFrame(pages[half:])
     incremental_dedup(spark, cat, p1)
-    inc_clusters = incremental_dedup(spark, cat, p2)
+    # 50/50 split: pin the DELTA leg (the adaptive cutover would route
+    # this split to _batch_recompute; that leg has its own test)
+    inc_clusters = incremental_dedup(spark, cat, p2, batch_cutover_frac=None)
     inc = {(r.url, r.cluster_id) for r in inc_clusters.collect()}
 
     # same co-clustering (cluster ids are min-url so directly comparable)
     assert inc == batch
+
+
+def test_cutover_matches_batch_and_incremental(spark, tmp_path):
+    """Adaptive cutover (VERDICT r4 #3): a 50/50 snapshot routes to
+    _batch_recompute (full bucket recount with sig/verdict memo) while
+    a delta-forced run of the SAME split uses the touched-bucket
+    machinery — both must equal batch run_pipeline over the union,
+    including is_canonical, and the cutover leg's state must remain
+    ingestable (a later small snapshot over it still equals batch)."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pages, _ = gen_corpus(450, seed=23, label_pairs=False)
+    half = len(pages) // 2
+    tail = pages[-30:]
+    body = pages[:-30]
+
+    bres = run_pipeline(spark, spark.createDataFrame(body))
+    batch = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres.clusters.collect()
+    }
+    bres.unpersist()
+
+    # leg A: default cutover — the 50/50 second snapshot must take the
+    # batch_recompute path (mode stat pins which leg actually ran)
+    cat_a = LocalParquetCatalog(tmp_path / "cut_a")
+    incremental_dedup(spark, cat_a, spark.createDataFrame(body[:half]))
+    st_a: dict = {}
+    got_a = incremental_dedup(
+        spark, cat_a, spark.createDataFrame(body[half:]), stats_out=st_a
+    )
+    assert st_a["mode"] == "batch_recompute"
+    assert {(r.url, r.cluster_id, r.is_canonical) for r in got_a.collect()} == batch
+
+    # leg B: delta-forced on the same split
+    cat_b = LocalParquetCatalog(tmp_path / "cut_b")
+    incremental_dedup(spark, cat_b, spark.createDataFrame(body[:half]))
+    st_b: dict = {}
+    got_b = incremental_dedup(
+        spark,
+        cat_b,
+        spark.createDataFrame(body[half:]),
+        stats_out=st_b,
+        batch_cutover_frac=None,
+    )
+    assert st_b["mode"] == "delta"
+    assert {(r.url, r.cluster_id, r.is_canonical) for r in got_b.collect()} == batch
+
+    # the cutover leg's written state (full pair_cnt recount) must be a
+    # valid basis for later DELTA ingests
+    st_c: dict = {}
+    got_c = incremental_dedup(
+        spark, cat_a, spark.createDataFrame(tail), stats_out=st_c
+    )
+    assert st_c["mode"] == "delta"
+    bres2 = run_pipeline(spark, spark.createDataFrame(pages))
+    batch2 = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres2.clusters.collect()
+    }
+    bres2.unpersist()
+    assert {(r.url, r.cluster_id, r.is_canonical) for r in got_c.collect()} == batch2
 
 
 def test_incremental_matches_batch_under_bucket_cap(spark, tmp_path):
@@ -338,7 +403,7 @@ def test_incremental_matches_batch_under_bucket_cap(spark, tmp_path):
     stats: dict = {}
     inc_clusters = incremental_dedup(
         spark, cat, spark.createDataFrame(pages[half:]), pcfg=pcfg,
-        stats_out=stats,
+        stats_out=stats, batch_cutover_frac=None,
     )
     inc = {(r.url, r.cluster_id) for r in inc_clusters.collect()}
 
@@ -370,6 +435,16 @@ def test_incremental_guards_reject_corrupting_inputs(spark, tmp_path):
     incremental_dedup(spark, cat, df)
     with _pytest.raises(ValueError, match="already ingested"):
         incremental_dedup(spark, cat, df.limit(5))
+
+    # a single snapshot carrying the same url twice (ADVICE r4 low):
+    # two normed rows under one identity key would corrupt every state
+    # table — must raise BEFORE any state is written
+    dup_snap = df.limit(5).unionByName(df.limit(3))
+    with _pytest.raises(ValueError, match="within itself"):
+        incremental_dedup(
+            spark, cat := LocalParquetCatalog(tmp_path / "intra_dup"), dup_snap
+        )
+    assert not cat.exists("normed")  # refused loudly, wrote nothing
 
     legacy = LocalParquetCatalog(tmp_path / "legacy")
     legacy.write(
@@ -408,7 +483,8 @@ def test_incremental_pair_retirement_matches_batch(spark, tmp_path):
     for s in snaps:
         st: dict = {}
         final = incremental_dedup(
-            spark, cat, spark.createDataFrame(s), pcfg=pcfg, stats_out=st
+            spark, cat, spark.createDataFrame(s), pcfg=pcfg, stats_out=st,
+            batch_cutover_frac=None,
         )
         removed += st["pairs_removed"]
         dissolved += st["dissolved_components"]
@@ -464,7 +540,8 @@ def test_incremental_rep_churn_matches_batch(spark, tmp_path):
     incremental_dedup(spark, cat, spark.createDataFrame(snap1))
     st: dict = {}
     final = incremental_dedup(
-        spark, cat, spark.createDataFrame(snap2), stats_out=st
+        spark, cat, spark.createDataFrame(snap2), stats_out=st,
+        batch_cutover_frac=None,
     )
     assert st["reps_churned"] >= 1
 
@@ -514,7 +591,8 @@ def test_incremental_auto_compaction_preserves_state(spark, tmp_path):
     final = None
     for q in quarters:
         final = incremental_dedup(
-            spark, cat, spark.createDataFrame(q), compact_every=2
+            spark, cat, spark.createDataFrame(q), compact_every=2,
+            batch_cutover_frac=None,
         )
     # the chain was compacted at least once and stays bounded
     assert cat.deltas_since_full("pair_cnt") <= 2
@@ -567,7 +645,9 @@ def test_windowed_state_verify_matches_batch(spark, tmp_path):
 
     cat = LocalParquetCatalog(tmp_path / "windowed")
     incremental_dedup(spark, cat, spark.createDataFrame(snap1))
-    final = incremental_dedup(spark, cat, spark.createDataFrame(snap2))
+    final = incremental_dedup(
+        spark, cat, spark.createDataFrame(snap2), batch_cutover_frac=None
+    )
 
     inc = {(r.url, r.cluster_id, r.is_canonical) for r in final.collect()}
     bres = run_pipeline(spark, spark.createDataFrame(rows))
@@ -947,6 +1027,22 @@ def test_pixel_decode_round_trip():
     assert np.array_equal(decode_pixels(gif_palette(rep, pal3)), pal3[rep])
     # header-only GIF (no frame) stays honestly undecodable
     assert decode_pixels(b"GIF89a" + b"\x14\x00\x0a\x00" + b"\x00" * 3) is None
+    # corrupt palette (ADVICE r4): a well-formed LZW stream whose
+    # indices exceed the color table must yield an honest None, not a
+    # clamped plausible-but-wrong thumbnail
+    import struct as _struct
+
+    from gen_image_fixture import _gif_lzw_encode
+
+    _lzw = _gif_lzw_encode(bytes([0, 1, 2, 3] * 3), 2)  # indices up to 3
+    corrupt = (
+        b"GIF89a"
+        + _struct.pack("<HHBBB", 4, 3, 0x80, 0, 0)  # 2-entry palette
+        + bytes(6)
+        + b"\x2c" + _struct.pack("<HHHHB", 0, 0, 4, 3, 0)
+        + bytes([2, len(_lzw)]) + _lzw + b"\x00\x3b"
+    )
+    assert decode_pixels(corrupt) is None
     thumb = make_thumbnail(png_bytes(px, 2, [0]), 8)  # step 3 -> 8x6
     assert np.array_equal(decode_pixels(thumb), px[::3, ::3])
     assert make_thumbnail(b"\xff\xd8\xff\xe0junk", 8) is None

@@ -303,7 +303,12 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
                         de = np.empty_like(frame)
                         de[order] = frame
                         frame = de
-                    frame = np.minimum(frame, len(pal) - 1)
+                    if int(frame.max(initial=0)) >= len(pal):
+                        # out-of-range palette index = corrupt stream;
+                        # honest null, same as every other corruption
+                        # path (ADVICE r4: clamping yields a plausible
+                        # but WRONG thumbnail)
+                        return None
                     # compose the frame onto the logical-screen canvas
                     canvas = np.full((sh, sw), min(bg, len(pal) - 1), np.uint8)
                     y1, x1 = min(top + fh, sh), min(left + fw, sw)

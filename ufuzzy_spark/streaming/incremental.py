@@ -155,6 +155,160 @@ def _hash_postings(sigs: DataFrame, pcfg: PipelineConfig) -> DataFrame:
     ).withColumnRenamed("url", "content_hash")
 
 
+def _batch_recompute(
+    spark: SparkSession,
+    catalog: LocalParquetCatalog,
+    pcfg: PipelineConfig,
+    fence,
+    stats_out: dict | None,
+    old_sigs: DataFrame,
+    old_verdicts: DataFrame,
+    old_normed: DataFrame | None,
+    new_normed: DataFrame,
+    new_sigs: DataFrame,
+    new_slim: DataFrame,
+    all_keys: DataFrame,
+    compact_every: int,
+) -> DataFrame:
+    """Batch-over-state leg of the adaptive cutover (VERDICT r4 #3).
+
+    When the snapshot is a large fraction of the corpus, the
+    touched-bucket delta machinery costs MORE than recomputing: the
+    blast radius is near-total, so the ingest pays refcount and
+    dissolution bookkeeping ON TOP of an almost-full recount. This leg
+    runs the batch operators (full bucket recount -> verify -> CC ->
+    election) over cumulative state while KEEPING the two memo tables
+    — signatures by content hash and verdicts by content-hash pair —
+    so the expensive Arrow UDF stages still touch only never-seen
+    content. Output clusters are bit-equal to ``run_pipeline`` over
+    the union of all snapshots (same reps, same bucket members, same
+    verdict keys, same CC labels; pinned by
+    tests/test_incremental.py::test_cutover_matches_batch_and_incremental).
+
+    State writes match the delta leg in SHAPE: sigs/normed/verdicts
+    append their deltas; pair_cnt is written as a fresh FULL recount
+    (a full snapshot supersedes the delta chain in read_all, and the
+    recount equals the running sum by candidate_pair_counts' purity).
+    """
+    sigs_all = old_sigs.unionByName(new_sigs)
+    reps_all = fence(
+        all_keys.groupBy("content_hash").agg(F.min("url").alias("url"))
+    )
+    n_reps = reps_all.count()
+    posts = (
+        _hash_postings(sigs_all, pcfg)
+        .join(_maybe_broadcast(reps_all, n_reps), "content_hash")
+        .select("url", "band_id", "band_hash")
+    )
+    pair_counts = fence(candidate_pair_counts(posts, pcfg))
+    n_pairs = pair_counts.count()
+    if stats_out is not None:
+        stats_out["mode"] = "batch_recompute"
+        stats_out["cand_pairs"] = n_pairs
+        # touched_buckets / pairs_added / pairs_removed /
+        # old_x_old_reverified / dissolved_components are delta-leg
+        # bookkeeping; this leg recounts everything and tracks none
+
+    pairs_h = fence(
+        pair_counts.select("url_a", "url_b")
+        .join(
+            _maybe_broadcast(
+                reps_all.select(
+                    F.col("url").alias("url_a"),
+                    F.col("content_hash").alias("hash_a"),
+                ),
+                n_reps,
+            ),
+            "url_a",
+        )
+        .join(
+            _maybe_broadcast(
+                reps_all.select(
+                    F.col("url").alias("url_b"),
+                    F.col("content_hash").alias("hash_b"),
+                ),
+                n_reps,
+            ),
+            "url_b",
+        )
+        .select(
+            "url_a",
+            "url_b",
+            F.least("hash_a", "hash_b").alias("hash_lo"),
+            F.greatest("hash_a", "hash_b").alias("hash_hi"),
+        )
+    )
+    to_verify = fence(
+        pairs_h.join(old_verdicts, ["hash_lo", "hash_hi"], "left_anti")
+    )
+    n_to_verify = to_verify.count()
+    if stats_out is not None:
+        stats_out["pairs_verified"] = n_to_verify
+    ver_urls = (
+        to_verify.select(F.col("url_a").alias("url"))
+        .unionByName(to_verify.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    ver_texts = new_normed.select("url", "norm_text")
+    if old_normed is not None:
+        # stored norm_text is already the verify window — verify_pairs
+        # re-windows identically, so verdicts match batch bit-for-bit
+        ver_texts = old_normed.select("url", "norm_text").unionByName(ver_texts)
+    ver_texts = ver_texts.join(
+        _maybe_broadcast(ver_urls, 2 * n_to_verify), "url", "left_semi"
+    )
+    new_verdicts = fence(
+        verify_pairs(
+            to_verify.select("url_a", "url_b", "hash_lo", "hash_hi"),
+            ver_texts,
+            pcfg,
+        ).select("hash_lo", "hash_hi", "is_dup")
+    )
+    verdicts_all = old_verdicts.unionByName(new_verdicts)
+    dup_edges = (
+        pairs_h.join(verdicts_all, ["hash_lo", "hash_hi"])
+        .where("is_dup")
+        .select("url_a", "url_b")
+    )
+    # exact-hash stars: every member edges to its corpus-wide min-url
+    # rep — the same connectivity batch exact_dedup emits
+    exact_edges = (
+        all_keys.join(
+            _maybe_broadcast(
+                reps_all.withColumnRenamed("url", "rep_url"), n_reps
+            ),
+            "content_hash",
+        )
+        .where(F.col("url") != F.col("rep_url"))
+        .select(F.col("rep_url").alias("url_a"), F.col("url").alias("url_b"))
+    )
+    labels = connected_components(
+        exact_edges.unionByName(dup_edges), all_nodes=all_keys.select("url")
+    )
+    slim_all = (
+        old_normed.select("url", "content_hash", "n_chars", "warc_ts").unionByName(
+            new_slim.select("url", "content_hash", "n_chars", "warc_ts")
+        )
+        if old_normed is not None
+        else new_slim.select("url", "content_hash", "n_chars", "warc_ts")
+    )
+    clusters = elect_canonical(labels, slim_all, n_chars_col="n_chars")
+
+    # persist: same all-or-nothing discipline as the delta leg
+    catalog.append(new_sigs, "sigs")
+    catalog.append(new_slim, "normed")
+    catalog.append(new_verdicts, "verdicts")
+    catalog.write(
+        pair_counts.select("url_a", "url_b", F.col("cnt").cast("int").alias("d")),
+        "pair_cnt",
+    )
+    catalog.write(clusters, "clusters")
+    if compact_every:
+        for table in ("sigs", "normed", "verdicts"):
+            catalog.maybe_compact(spark, table, max_deltas=compact_every)
+    return catalog.read(spark, "clusters")
+
+
 def incremental_dedup(
     spark: SparkSession,
     catalog: LocalParquetCatalog,
@@ -162,10 +316,22 @@ def incremental_dedup(
     pcfg: PipelineConfig | None = None,
     stats_out: dict | None = None,
     compact_every: int = 16,
+    batch_cutover_frac: float | None = 1 / 3,
 ) -> DataFrame:
     """Process a new snapshot against persisted state; returns the
     updated full clusters table (also written as a new snapshot),
     bit-equal to ``run_pipeline`` over the union of all snapshots.
+
+    ``batch_cutover_frac``: when the snapshot is at least this fraction
+    of the post-ingest corpus, the touched-bucket delta machinery is
+    skipped in favor of ``_batch_recompute`` — a full bucket recount
+    with the sig/verdict memo tables still applied (the delta leg's
+    bookkeeping costs MORE than recomputing once the blast radius is
+    near-total; VERDICT r4). ``None`` disables the cutover (always
+    delta). Both legs write the same state shapes and bit-equal
+    clusters. Default 1/3 sits inside the measured crossover band
+    (BENCH/BASELINE.md round-5 "cutover crossover" table: the delta
+    leg wins clearly at <=20% snapshots, loses clearly at >=50%).
 
     Contract: urls are unique ACROSS snapshots (they are the identity
     every state table and CC node keys on); a snapshot re-ingesting a
@@ -239,7 +405,22 @@ def incremental_dedup(
         .withColumn("content_hash", F.xxhash64("norm_text"))
     )
     new_urls = new_normed.select("url")
-    n_new = new_normed.count()  # cheap: counts the checkpointed blocks
+    # one aggregation job: row count + intra-snapshot url uniqueness.
+    # url is the identity key every state table and CC node relies on —
+    # a snapshot carrying the same url twice would write two normed
+    # rows under one key and silently corrupt state, so refuse loudly
+    # (the cross-snapshot variant of this guard is below).
+    _c = new_normed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("url").alias("n_urls"),
+    ).first()
+    n_new = _c["n"]
+    if n_new != _c["n_urls"]:
+        raise ValueError(
+            f"incremental_dedup: snapshot contains {n_new - _c['n_urls']} "
+            "duplicate url(s) within itself; urls must be unique across "
+            "AND within snapshots (dedupe or version the urls upstream)"
+        )
 
     has_state = catalog.exists("sigs")
     if has_state:
@@ -351,6 +532,23 @@ def incremental_dedup(
     all_keys = new_normed.select("url", "content_hash")
     if old_keys is not None:
         all_keys = old_keys.unionByName(all_keys)
+
+    # --- adaptive cutover (VERDICT r4 #3) ---------------------------- #
+    # everything above (normalize, guards, rep churn, memoized signing)
+    # is shared; everything below is the O(new + touched) delta leg.
+    # n_old is one column-pruned count over the normed state — cheap
+    # relative to either leg, and the decision input that predicts the
+    # blast radius BEFORE paying for touched-bucket expansion.
+    if has_state and batch_cutover_frac is not None:
+        n_old = old_normed.count()
+        if n_new >= batch_cutover_frac * (n_new + n_old):
+            return _batch_recompute(
+                spark, catalog, pcfg, fence, stats_out,
+                old_sigs, old_verdicts, old_normed,
+                new_normed, new_sigs, new_slim, all_keys, compact_every,
+            )
+    if stats_out is not None:
+        stats_out["mode"] = "delta" if has_state else "initial"
 
     # --- touched buckets: keys gaining a new hash or a churned rep -- #
     new_posts = _hash_postings(new_sigs, pcfg)
@@ -513,14 +711,13 @@ def incremental_dedup(
             .agg(F.sum("d").cast("int").alias("d"))
             .where("d != 0")
         )
-    if stats_out is not None:
-        stats_out["cand_pairs"] = changed.count()
-
     # prior logical counts for the changed pairs: the refcount state is
     # scanned under a broadcast filter of HASHED pair keys (8 bytes/key
     # instead of two url strings; hash false-positives only widen the
     # scan result and are dropped by the exact left join below)
     n_changed = changed.count()
+    if stats_out is not None:
+        stats_out["cand_pairs"] = n_changed
     if not has_state:
         # first ingest: no prior counts exist — every delta row IS the
         # logical count (and building a corpus-sized broadcast to probe
@@ -555,38 +752,58 @@ def incremental_dedup(
                 (F.coalesce("prior", F.lit(0)) + F.col("d")).alias("new_tot"),
             )
         )
+    # one aggregation job over the fenced `judged` frame folds the
+    # refcount invariant guard and the added/removed stats (three
+    # driver actions in round 4 — serial latency at snapshot cadence)
+    _j = judged.agg(
+        F.sum(
+            F.when((F.col("prior") < 0) | (F.col("new_tot") < 0), 1).otherwise(0)
+        ).alias("n_bad"),
+        F.sum(
+            F.when((F.col("prior") == 0) & (F.col("new_tot") > 0), 1).otherwise(0)
+        ).alias("n_added"),
+        F.sum(
+            F.when((F.col("prior") > 0) & (F.col("new_tot") == 0), 1).otherwise(0)
+        ).alias("n_removed"),
+    ).first()
     # refcount invariant: counts are bucket multiplicities, never
     # negative — a violation means touched-bucket detection missed a
     # membership change, which would silently corrupt the pair set
-    n_bad = judged.where("prior < 0 or new_tot < 0").count()
-    if n_bad:
+    if _j["n_bad"]:
         raise RuntimeError(
-            f"incremental_dedup: {n_bad} pair refcount(s) went negative — "
-            "touched-bucket bookkeeping is inconsistent with pair_cnt state"
+            f"incremental_dedup: {_j['n_bad']} pair refcount(s) went "
+            "negative — touched-bucket bookkeeping is inconsistent with "
+            "pair_cnt state"
         )
     added = fence(judged.where("prior = 0 and new_tot > 0").select("url_a", "url_b"))
     removed = fence(judged.where("prior > 0 and new_tot = 0").select("url_a", "url_b"))
+    n_removed = _j["n_removed"] or 0
     if stats_out is not None:
-        stats_out["pairs_added"] = added.count()
-        stats_out["pairs_removed"] = removed.count()
+        stats_out["pairs_added"] = _j["n_added"] or 0
+        stats_out["pairs_removed"] = n_removed
 
-    # persist the refcount delta BEFORE the CC stage so the dissolved-
-    # component edge regathering below reads a consistent logical state
-    if has_state:
-        catalog.append(changed, "pair_cnt")
-    else:
-        catalog.write(changed, "pair_cnt")
+    # NOTE: the pair_cnt delta is deliberately NOT persisted here. An
+    # ingest that fails between here and the final persist block (CC
+    # non-convergence, OOM, interrupt) must leave NO partial state —
+    # an early-appended delta without its normed rows would pass the
+    # duplicate-url guard on re-run and double the refcounts, silently
+    # missing retirements forever. The dissolution path below reads the
+    # post-snapshot logical counts from an in-memory union instead.
 
     def _attach_hashes(
         pairs: DataFrame,
         url_map: DataFrame | None = None,
         n_map: int = _BCAST_MAX_ROWS + 1,
+        n_pairs: int = _BCAST_MAX_ROWS + 1,
     ) -> DataFrame:
         """(url_a, url_b) -> + hash_lo, hash_hi. ``url_map`` is a
         (content_hash, url) frame covering the pairs' urls (the small
         in-memory reps frames for touched-bucket pairs, broadcast when
-        ``n_map`` rows allow); default falls back to a broadcast-
-        filtered scan of the (url, content_hash) state."""
+        ``n_map`` rows allow); default falls back to a scan of the
+        (url, content_hash) state filtered by the pairs' urls
+        (broadcast only when ``n_pairs`` bounds them under the cap —
+        a retired pair incident to a mega-component can make this set
+        arbitrarily large)."""
         if url_map is not None:
             uh = url_map.select("url", "content_hash")
         else:
@@ -595,8 +812,10 @@ def incremental_dedup(
                 .unionByName(pairs.select(F.col("url_b").alias("url")))
                 .distinct()
             )
-            uh = all_keys.join(F.broadcast(urls), "url", "left_semi")
-            n_map = _BCAST_MAX_ROWS  # bounded by the (small) pair set
+            uh = all_keys.join(
+                _maybe_broadcast(urls, 2 * n_pairs), "url", "left_semi"
+            )
+            n_map = 2 * n_pairs  # urls per pair bound the map size
         return (
             pairs.join(
                 _maybe_broadcast(uh.select(
@@ -713,12 +932,15 @@ def incremental_dedup(
     )
     removed_dup = fence(
         removed_h.join(
-            F.broadcast(
+            _maybe_broadcast(
                 old_verdicts.join(
-                    F.broadcast(removed_h.select("hash_lo", "hash_hi")),
+                    _maybe_broadcast(
+                        removed_h.select("hash_lo", "hash_hi"), n_removed
+                    ),
                     ["hash_lo", "hash_hi"],
                     "left_semi",
-                )
+                ),
+                n_removed,
             ),
             ["hash_lo", "hash_hi"],
         )
@@ -772,27 +994,50 @@ def incremental_dedup(
                 .distinct()
             )
             dissolved_labels = fence(
-                prior_labels.join(F.broadcast(rm_urls), "url", "left_semi")
+                prior_labels.join(
+                    _maybe_broadcast(rm_urls, 2 * n_removed_dup),
+                    "url",
+                    "left_semi",
+                )
                 .select("cluster_id")
                 .distinct()
             )
+            n_dis_labels = dissolved_labels.count()
+            # one retired pair incident to a mega-component (boilerplate
+            # / spam cluster with millions of members) makes `dissolved`
+            # arbitrarily large — every use below goes through the
+            # counted broadcast guard, same as the rest of the function
             dissolved = fence(
                 prior_labels.join(
-                    F.broadcast(dissolved_labels), "cluster_id", "left_semi"
+                    _maybe_broadcast(dissolved_labels, n_dis_labels),
+                    "cluster_id",
+                    "left_semi",
                 ).select("url")
             )
-            # live dup edges incident to dissolved members (pair_cnt
-            # read_all includes this snapshot's delta, appended above)
-            pc_all = catalog.read_all(spark, "pair_cnt")
+            n_dissolved = dissolved.count()
+            # live dup edges incident to dissolved members: the
+            # post-snapshot logical counts are the persisted state plus
+            # THIS snapshot's (not-yet-persisted) delta, unioned in
+            # memory — the delta only hits disk in the final persist
+            # block so a failed ingest leaves no partial state
+            pc_all = old_pair_cnt.unionByName(
+                changed.select("url_a", "url_b", "d")
+            )
             inc_pairs = fence(
                 pc_all.join(
-                    F.broadcast(dissolved.withColumnRenamed("url", "url_a")),
+                    _maybe_broadcast(
+                        dissolved.withColumnRenamed("url", "url_a"),
+                        n_dissolved,
+                    ),
                     "url_a",
                     "left_semi",
                 )
                 .unionByName(
                     pc_all.join(
-                        F.broadcast(dissolved.withColumnRenamed("url", "url_b")),
+                        _maybe_broadcast(
+                            dissolved.withColumnRenamed("url", "url_b"),
+                            n_dissolved,
+                        ),
                         "url_b",
                         "left_semi",
                     )
@@ -802,17 +1047,20 @@ def incremental_dedup(
                 .where("tot > 0")
                 .select("url_a", "url_b")
             )
-            inc_pairs_h = fence(_attach_hashes(inc_pairs))
+            n_inc = inc_pairs.count()
+            inc_pairs_h = fence(_attach_hashes(inc_pairs, n_pairs=n_inc))
             m_dup_edges = (
                 inc_pairs_h.join(
-                    F.broadcast(
+                    _maybe_broadcast(
                         verdicts_all.join(
-                            F.broadcast(
-                                inc_pairs_h.select("hash_lo", "hash_hi")
+                            _maybe_broadcast(
+                                inc_pairs_h.select("hash_lo", "hash_hi"),
+                                n_inc,
                             ),
                             ["hash_lo", "hash_hi"],
                             "left_semi",
-                        )
+                        ),
+                        n_inc,
                     ),
                     ["hash_lo", "hash_hi"],
                 )
@@ -823,12 +1071,16 @@ def incremental_dedup(
             # sharing a dissolved member's content hash re-star on the
             # current (min-url) rep
             dis_hashes = (
-                all_keys.join(F.broadcast(dissolved), "url", "left_semi")
+                all_keys.join(
+                    _maybe_broadcast(dissolved, n_dissolved), "url", "left_semi"
+                )
                 .select("content_hash")
                 .distinct()
             )
             same_hash_docs = all_keys.join(
-                F.broadcast(dis_hashes), "content_hash", "left_semi"
+                _maybe_broadcast(dis_hashes, n_dissolved),
+                "content_hash",
+                "left_semi",
             )
             reps_h = same_hash_docs.groupBy("content_hash").agg(
                 F.min("url").alias("rep_url")
@@ -846,9 +1098,10 @@ def incremental_dedup(
         else:
             dissolved_labels = spark.createDataFrame([], "cluster_id string")
             dissolved = spark.createDataFrame([], "url string")
+            n_dis_labels = 0
             graph_edges_raw = added_edges
         if stats_out is not None:
-            stats_out["dissolved_components"] = dissolved_labels.count()
+            stats_out["dissolved_components"] = n_dis_labels
 
         # supernode mapping: dissolved members and new docs stand for
         # themselves; every other endpoint collapses to its prior
@@ -922,8 +1175,8 @@ def incremental_dedup(
             _maybe_broadcast(own_nodes.select("url"), n_own), "url", "left_semi"
         )
         label_moves = cc_small.join(
-            F.broadcast(
-                supernode_labels.withColumnRenamed("cluster_id", "url")
+            _maybe_broadcast(
+                supernode_labels.withColumnRenamed("cluster_id", "url"), n_eps
             ),
             "url",
             "left_semi",
@@ -932,7 +1185,7 @@ def incremental_dedup(
         )
         intact_rows = (
             prior_labels.withColumnRenamed("cluster_id", "old_label")
-            .join(F.broadcast(label_moves), "old_label")
+            .join(_maybe_broadcast(label_moves, n_eps), "old_label")
             .select("url", F.col("new_label").alias("cluster_id"))
             # a dissolved member's prior row must not resurface through
             # an intact-component relabel (disjoint by construction —
@@ -955,21 +1208,30 @@ def incremental_dedup(
             affected_members, aff_slim, n_chars_col="n_chars"
         )
         untouched = prior_clusters.join(
-            F.broadcast(affected_labels), "cluster_id", "left_anti"
+            _maybe_broadcast(affected_labels, n_eps + n_dis_labels),
+            "cluster_id",
+            "left_anti",
         )
         clusters = untouched.select(
             "url", "cluster_id", "is_canonical"
         ).unionByName(aff_clusters.select("url", "cluster_id", "is_canonical"))
 
     # --- persist state deltas + full clusters output ----------------- #
+    # ALL state deltas land here, together, after every failure-prone
+    # stage (verify, CC, election) has completed — `changed` included,
+    # so a re-run after a mid-ingest failure starts from clean state
+    # (the duplicate-url guard then correctly rejects or accepts the
+    # whole snapshot; refcounts can never be half-applied)
     if has_state:
         catalog.append(new_sigs, "sigs")
         catalog.append(new_slim, "normed")
         catalog.append(new_verdicts, "verdicts")
+        catalog.append(changed, "pair_cnt")
     else:
         catalog.write(new_sigs, "sigs")
         catalog.write(new_slim, "normed")
         catalog.write(new_verdicts, "verdicts")
+        catalog.write(changed, "pair_cnt")
     catalog.write(clusters, "clusters")
 
     # bound the delta chains (read_all unions every delta since the
