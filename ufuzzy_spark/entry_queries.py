@@ -1986,15 +1986,29 @@ def q_media_metadata(spark, sf_dir):
     "incremental_ingest",
     """
     -- resume_lineage pattern (VERDICT r2 #5): the relational values
-    -- are recomputed here; the two invariant rows are PROVEN by the
-    -- Spark side actually running streaming/incremental.py twice at
-    -- query time — a broken new x all pairing or an incremental-vs-
-    -- batch divergence flips them to 0 and the hash gate goes red.
+    -- are recomputed here; the invariant rows are PROVEN by the Spark
+    -- side actually running streaming/incremental.py twice at query
+    -- time — a broken new x all pairing, a dead retirement path, or an
+    -- incremental-vs-batch divergence flips them and the hash gate
+    -- goes red. doc_id % 100 = 0 rows get a planted near-dup (snap1)
+    -- and a rep-churn exact twin (snap2), mirrored in the counts here.
     SELECT 'docs_total' AS metric, count(*)::BIGINT AS value FROM documents
     UNION ALL
-    SELECT 'snap1_docs', count(*)::BIGINT FROM documents WHERE doc_id % 2 = 0
+    SELECT 'snap1_docs', (count(*) FILTER (WHERE doc_id % 10 <> 9)
+                          + count(*) FILTER (WHERE doc_id % 100 = 0))::BIGINT
+    FROM documents
     UNION ALL
-    SELECT 'snap2_docs', count(*)::BIGINT FROM documents WHERE doc_id % 2 = 1
+    SELECT 'snap2_docs', (count(*) FILTER (WHERE doc_id % 10 = 9)
+                          + count(*) FILTER (WHERE doc_id % 100 = 0))::BIGINT
+    FROM documents
+    UNION ALL
+    SELECT 'mode_delta', 1
+    UNION ALL
+    SELECT 'reps_churned_min1', 1
+    UNION ALL
+    SELECT 'pairs_retired_min1', 1
+    UNION ALL
+    SELECT 'dissolved_min1', 1
     UNION ALL
     SELECT 'old_x_old_reverified', 0
     UNION ALL
@@ -2002,14 +2016,30 @@ def q_media_metadata(spark, sf_dir):
     """,
 )
 def q_incremental_ingest(spark, sf_dir):
-    """Incremental dedup over two catalog snapshots: snapshot 1 = even
-    doc_ids, snapshot 2 = odd. Runs the production incremental path
-    (content-hash-memoized signatures + verification; relational
-    stages recomputed with the batch operators) and pins two
-    invariants the oracle asserts: zero old x old pairs re-VERIFIED in
-    snapshot 2 (the expensive stages stay O(new)), and final clusters
-    equal to a single batch run_pipeline over the union — exact under
-    the production bucket cap, because candidate generation reruns the
+    """Incremental dedup over two catalog snapshots at the production
+    shape (VERDICT r4 wrong #1): snapshot 1 = 90% of docs (doc_id % 10
+    != 9), snapshot 2 = the remaining 10% — the crawl-cadence case the
+    O(new + touched) machinery is FOR, not the 50/50 worst case that
+    degenerates to full recompute plus bookkeeping (that regime is the
+    adaptive cutover's job, pinned by
+    tests/test_operators.py::test_cutover_matches_batch_and_incremental).
+
+    The delta leg's hard paths still fire, via deterministic plants on
+    doc_id % 100 == 0 rows: snapshot 1 carries a NEAR-dup of each
+    ("doc:/~" url, text + " zzqq" — one extra token, shingle Jaccard
+    ~0.95, verified dup in snapshot 1's state), snapshot 2 carries an
+    exact twin under a SMALLER url ("doc:/!" sorts before "doc://"),
+    which churns the content's exact-dedup rep, re-keys its bucket
+    postings, RETIRES the verified pair (old_rep, near_dup) by
+    refcount, and dissolves + re-solves the incident component.
+
+    Pinned invariants (each an oracle row): snapshot 2 takes the delta
+    leg (mode_delta), rep churn / pair retirement / dissolution all
+    fired (the *_min1 rows), zero old x old pairs re-VERIFIED (the new
+    pair re-attaches from the hash-pair verdict memo — expensive
+    stages stay O(new)), and final clusters equal one batch
+    run_pipeline over the union of both snapshots — exact under the
+    production bucket cap, because candidate generation reruns the
     same capped operator over cumulative state (the prefixCache reuse
     idea at pipeline scale, demos/compare.html:562-601)."""
     import shutil
@@ -2020,18 +2050,35 @@ def q_incremental_ingest(spark, sf_dir):
     from ufuzzy_spark.streaming.incremental import incremental_dedup
 
     d = _docs(spark, sf_dir)
-    pages = d.select(
-        F.concat(F.lit("doc://"), F.format_string("%07d", "doc_id")).alias(
-            "url"
-        ),
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.encode("text", "UTF-8").alias("html"),
-        F.col("text"),
-        F.lit("en").alias("lang"),
-        F.col("doc_id"),
+
+    def page_cols(url_prefix, text_col):
+        return [
+            F.concat(
+                F.lit(url_prefix), F.format_string("%07d", "doc_id")
+            ).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.encode(text_col, "UTF-8").alias("html"),
+            text_col.alias("text"),
+            F.lit("en").alias("lang"),
+        ]
+
+    base = d.select(*page_cols("doc://", F.col("text")), "doc_id")
+    plant_src = d.where(F.col("doc_id") % 100 == 0)
+    # near-dup of each plant target, distinct content after
+    # normalization (norm_text keeps letters), same LSH buckets w.h.p.
+    near_dups = plant_src.select(
+        *page_cols("doc:/~", F.concat(F.col("text"), F.lit(" zzqq")))
     )
-    snap1 = pages.where(F.col("doc_id") % 2 == 0).drop("doc_id")
-    snap2 = pages.where(F.col("doc_id") % 2 == 1).drop("doc_id")
+    # exact twin under a url that sorts BEFORE the original
+    # ('!' < '/'): churns the content's min-url rep in snapshot 2
+    churn_twins = plant_src.select(*page_cols("doc:/!", F.col("text")))
+
+    snap1 = base.where(F.col("doc_id") % 10 != 9).drop("doc_id").unionByName(
+        near_dups
+    )
+    snap2 = base.where(F.col("doc_id") % 10 == 9).drop("doc_id").unionByName(
+        churn_twins
+    )
     n1, n2 = snap1.count(), snap2.count()
 
     tmp = tempfile.mkdtemp(prefix="ufz_incr_entry_")
@@ -2041,7 +2088,7 @@ def q_incremental_ingest(spark, sf_dir):
         stats: dict = {}
         final = incremental_dedup(spark, cat, snap2, stats_out=stats)
 
-        batch_res = run_pipeline(spark, pages.drop("doc_id"))
+        batch_res = run_pipeline(spark, snap1.unionByName(snap2))
         # scale-safe set equality (VERDICT r3 wrong #3): symmetric
         # exceptAll counts instead of collecting both cluster tables
         # to the driver — the sf0.1 parity sweep runs this query too
@@ -2055,9 +2102,13 @@ def q_incremental_ingest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
     rows = [
-        ("docs_total", n1 + n2),
+        ("docs_total", d.count()),
         ("snap1_docs", n1),
         ("snap2_docs", n2),
+        ("mode_delta", 1 if stats.get("mode") == "delta" else 0),
+        ("reps_churned_min1", 1 if stats["reps_churned"] >= 1 else 0),
+        ("pairs_retired_min1", 1 if stats["pairs_removed"] >= 1 else 0),
+        ("dissolved_min1", 1 if stats["dissolved_components"] >= 1 else 0),
         ("old_x_old_reverified", int(stats["old_x_old_reverified"])),
         ("incremental_equals_batch", 1 if n_diff == 0 else 0),
     ]
