@@ -113,9 +113,13 @@ def main() -> None:
     )
     n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
 
+    from ufuzzy_spark.bench_util import loadavg, read_proc_stat, stat_delta
+
+    stat0 = read_proc_stat()
     t0 = time.time()
     timings = run_suite(spark, args.sf_dir, args.skip_side_effecting)
     total = round(time.time() - t0, 3)
+    host = stat_delta(stat0, read_proc_stat())
     side_wall = round(
         sum(t for n, t in timings.items() if n in SIDE_EFFECTING), 3
     )
@@ -138,6 +142,16 @@ def main() -> None:
                 # vs the pipeline-proof oracle queries
                 "core_wall": round(total - side_wall, 3),
                 "side_effecting_wall": side_wall,
+                # host-load trace over the suite's own window (VERDICT
+                # r4 next #8): regression triage can tell co-tenant
+                # interference (steal) from real slowdowns without a
+                # judge re-run
+                "host": {
+                    "steal_pct": host["steal_pct"],
+                    "idle_pct": host["idle_pct"],
+                    "iowait_pct": host["iowait_pct"],
+                    "loadavg_end": loadavg(),
+                },
             }
         )
     )
