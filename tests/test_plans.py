@@ -114,3 +114,112 @@ def test_tpch_region_revenue_broadcasts_dims(spark):
     plan = formatted_plan(q_tpch_region_revenue(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert not has_cartesian(plan), plan
+
+
+# -- bucketed state layout (VERDICT r4 next #6) ------------------------- #
+# docs/PLANS.md's residual-cost note claims state tables "would
+# additionally be bucketed by their join keys" on a real cluster; these
+# pin that the catalog's optional bucketBy layout actually delivers the
+# two properties the claim rests on.
+
+
+def _bucketed_sigs_catalog(spark, tmp_path, n_rows=20000, n_buckets=8):
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "bcat")
+    sigs = spark.range(0, n_rows).select(
+        F.xxhash64(F.col("id").cast("string")).alias("content_hash"),
+        F.array(F.col("id"), F.col("id") + 1).alias("band_hashes"),
+        F.col("id").alias("simhash"),
+    )
+    cat.write(sigs, "sigs", bucket_by=(["content_hash"], n_buckets))
+    return cat
+
+
+def test_bucketed_state_join_shuffles_probe_side_only(spark, tmp_path):
+    """The 100 TB memo-join shape: once a probe side outgrows the
+    broadcast bound, the sigs/verdicts join plans as sort-merge — and
+    the BUCKETED state side must feed the join straight from the scan
+    (no Exchange over O(state) bytes; only the probe side shuffles)."""
+    cat = _bucketed_sigs_catalog(spark, tmp_path)
+    state = cat.read_all(spark, "sigs")
+    probe = spark.range(0, 500).select(
+        F.xxhash64((F.col("id") * 7).cast("string")).alias("content_hash")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(state.join(probe, "content_hash", "left_semi"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # exactly ONE Exchange: the probe side. A second one would mean the
+    # state scan is being shuffled — the O(state) cost the layout exists
+    # to remove.
+    assert plan.count("(Exchange") + plan.count("+- Exchange") == 1, plan
+
+
+def test_bucketed_state_literal_filter_prunes_buckets(spark, tmp_path):
+    """Literal =/IN predicates on the bucket column must prune the scan
+    to matching buckets (SelectedBucketsCount k out of n, k < n)."""
+    import re
+
+    cat = _bucketed_sigs_catalog(spark, tmp_path)
+    state = cat.read_all(spark, "sigs")
+    keys = [r.content_hash for r in state.limit(3).collect()]
+    # filter-only queries have no join to justify a bucketed scan, so
+    # the planner's auto-bucketed-scan heuristic must be off to see the
+    # pruning (a join+filter query prunes with it on)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = formatted_plan(state.where(F.col("content_hash").isin(keys)))
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_bucketed_chain_delta_union_and_recompaction(spark, tmp_path):
+    """Deltas union away the bucket property (honest: two parquet dirs
+    are two tables); compaction folds them into a fresh FULL snapshot
+    that is bucketed again — the steady-state layout contract."""
+    cat = _bucketed_sigs_catalog(spark, tmp_path, n_rows=1000)
+    delta = spark.range(1000, 1200).select(
+        F.xxhash64(F.col("id").cast("string")).alias("content_hash"),
+        F.array(F.col("id"), F.col("id") + 1).alias("band_hashes"),
+        F.col("id").alias("simhash"),
+    )
+    cat.append(delta, "sigs")
+    assert cat.read_all(spark, "sigs").count() == 1200
+    assert cat.maybe_compact(
+        spark, "sigs", max_deltas=1, bucket_by=(["content_hash"], 8)
+    )
+    again = cat.read_all(spark, "sigs")
+    assert again.count() == 1200
+    assert "Bucketed: true" in formatted_plan(
+        again.join(
+            spark.range(3).select(
+                F.xxhash64(F.col("id").cast("string")).alias("content_hash")
+            ).hint("shuffle_merge"),
+            "content_hash",
+            "left_semi",
+        )
+    )
+    # fresh-session path: drop the registration the write left behind;
+    # _read_snap must re-register from _META.json via CLUSTERED BY DDL
+    # with the bucket layout intact
+    snap = cat.latest_snapshot("sigs")
+    spark.sql(f"DROP TABLE IF EXISTS {cat._reg_name('sigs', snap)}")
+    re_read = cat.read_all(spark, "sigs")
+    assert re_read.count() == 1200
+    assert "Bucketed: true" in formatted_plan(
+        re_read.join(
+            spark.range(3).select(
+                F.xxhash64(F.col("id").cast("string")).alias("content_hash")
+            ).hint("shuffle_merge"),
+            "content_hash",
+            "left_semi",
+        )
+    )

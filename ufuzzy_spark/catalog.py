@@ -17,6 +17,7 @@ snapshots. Snapshot history is what enables incremental dedup
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 from pathlib import Path
@@ -28,6 +29,13 @@ class LocalParquetCatalog:
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+
+    def _reg_name(self, table: str, snap: int) -> str:
+        """Session-catalog identifier for a bucketed snapshot. Unique
+        per (catalog root, table, snapshot) so two catalogs in one
+        SparkSession never collide."""
+        digest = hashlib.md5(str(self.root.resolve()).encode()).hexdigest()[:8]
+        return f"ufz_state_{digest}_{table}_{snap}"
 
     # -- snapshot bookkeeping -------------------------------------- #
 
@@ -57,23 +65,59 @@ class LocalParquetCatalog:
     # -- I/O -------------------------------------------------------- #
 
     def write(
-        self, df: DataFrame, table: str, partition_by=None, mode: str = "full"
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by=None,
+        mode: str = "full",
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> int:
         """New snapshot. ``mode='full'`` holds the whole table state;
         ``mode='delta'`` holds only rows added since the previous
-        snapshot (see ``append``/``read_all``). Returns snapshot id."""
+        snapshot (see ``append``/``read_all``). Returns snapshot id.
+
+        ``bucket_by=(cols, n)`` writes the snapshot hash-bucketed on
+        ``cols`` into ``n`` files per writer (Spark ``bucketBy`` — the
+        layout contract docs/PLANS.md claims for state tables at
+        cluster scale): a later equi-join on ``cols`` reads the state
+        side WITHOUT an Exchange (only the probe side shuffles, so the
+        memo joins never shuffle O(state) bytes), and literal ``=``/
+        ``IN`` predicates prune to matching buckets
+        (SelectedBucketsCount in .explain). Bucketing metadata lives
+        in the session catalog, so bucketed snapshots are (re-)
+        registered on read — ``_META.json`` carries the spec across
+        sessions. Only FULL snapshots are worth bucketing (delta
+        chains union away the property until compaction)."""
         snap = (self.latest_snapshot(table) or 0) + 1
         path = self._snap_path(table, snap)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(str(path))
+        if bucket_by and partition_by:
+            raise ValueError("bucket_by and partition_by are exclusive")
+        if bucket_by:
+            cols, n_buckets = bucket_by
+            name = self._reg_name(table, snap)
+            spark = df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.format("parquet")
+                .bucketBy(n_buckets, *cols)
+                .sortBy(*cols)
+                .option("path", str(path))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(str(path))
         meta = {
             "snapshot": snap,
             "ts": time.time(),
             "schema": df.schema.json(),
             "partition_by": partition_by or [],
             "mode": mode,
+            "bucket_by": list(bucket_by[0]) if bucket_by else None,
+            "n_buckets": bucket_by[1] if bucket_by else None,
         }
         (path / "_META.json").write_text(json.dumps(meta))
         (self._tdir(table) / "_LATEST").write_text(str(snap))
@@ -87,11 +131,42 @@ class LocalParquetCatalog:
         ``write``-ing the union as a fresh full snapshot."""
         return self.write(df, table, partition_by, mode="delta")
 
-    def _snap_mode(self, table: str, snap: int) -> str:
+    def _snap_meta(self, table: str, snap: int) -> dict:
         meta = self._snap_path(table, snap) / "_META.json"
         if meta.exists():
-            return json.loads(meta.read_text()).get("mode", "full")
-        return "full"  # pre-delta snapshots hold full state
+            return json.loads(meta.read_text())
+        return {}  # pre-delta snapshots hold full state, unbucketed
+
+    def _snap_mode(self, table: str, snap: int) -> str:
+        return self._snap_meta(table, snap).get("mode", "full")
+
+    def _read_snap(
+        self, spark: SparkSession, table: str, snap: int
+    ) -> DataFrame:
+        """One snapshot, through the session catalog when bucketed (a
+        plain ``spark.read.parquet`` of the same files would be correct
+        but would forget the bucket layout — the join/prune properties
+        live in the table metadata, not the files)."""
+        meta = self._snap_meta(table, snap)
+        path = self._snap_path(table, snap)
+        cols = meta.get("bucket_by")
+        if not cols:
+            return spark.read.parquet(str(path))
+        name = self._reg_name(table, snap)
+        if not spark.catalog.tableExists(name):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(cols)}) "
+                f"INTO {meta['n_buckets']} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        return spark.table(name)
 
     def read_all(self, spark: SparkSession, table: str) -> DataFrame:
         """The logical table: the most recent FULL snapshot unioned
@@ -105,8 +180,16 @@ class LocalParquetCatalog:
             if self._snap_mode(table, snaps[i]) == "full":
                 start = i
                 break
-        paths = [str(self._snap_path(table, s)) for s in snaps[start:]]
-        return spark.read.parquet(*paths)
+        chain = snaps[start:]
+        base = self._read_snap(spark, table, chain[0])
+        if len(chain) == 1:
+            return base  # bucketed full snapshot keeps its layout
+        # deltas union away the bucket property until the next
+        # compaction folds them into a fresh (bucketed) full snapshot
+        deltas = spark.read.parquet(
+            *(str(self._snap_path(table, s)) for s in chain[1:])
+        )
+        return base.unionByName(deltas)
 
     def read(
         self, spark: SparkSession, table: str, snapshot: int | None = None
@@ -114,7 +197,7 @@ class LocalParquetCatalog:
         snap = snapshot if snapshot is not None else self.latest_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"table {table} has no snapshots")
-        return spark.read.parquet(str(self._snap_path(table, snap)))
+        return self._read_snap(spark, table, snap)
 
     def diff_new(
         self,
@@ -146,6 +229,7 @@ class LocalParquetCatalog:
         table: str,
         max_deltas: int = 16,
         transform=None,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> bool:
         """Compact the delta chain into a fresh FULL snapshot once it
         exceeds ``max_deltas`` (unbounded chains grow snapshot-listing
@@ -163,7 +247,7 @@ class LocalParquetCatalog:
         df = self.read_all(spark, table)
         if transform is not None:
             df = transform(df)
-        self.write(df, table)
+        self.write(df, table, bucket_by=bucket_by)
         return True
 
     def exists(self, table: str) -> bool:

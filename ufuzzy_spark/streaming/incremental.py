@@ -102,6 +102,25 @@ _VERDICTS_SCHEMA = "hash_lo long, hash_hi long, is_dup boolean"
 _PAIR_CNT_SCHEMA = "url_a string, url_b string, d int"
 _REPS_SCHEMA = "content_hash long, old_rep_url string"
 
+# bucketed state layout (VERDICT r4 next #6 — the docs/PLANS.md
+# residual-cost claim, made real): FULL snapshots of the memo tables
+# are hash-bucketed on exactly the keys their ingest joins probe, so
+# when a probe side outgrows _BCAST_MAX_ROWS and the join plans as
+# sort-merge, the state side feeds the join straight from the scan —
+# NO Exchange over O(state) bytes (tests/test_plans.py pins the
+# shape). pair_cnt is deliberately absent: its reads are pk-hash semi
+# joins, not column equi-joins, so bucketing buys nothing there.
+_STATE_BUCKET_COLS: dict[str, list[str]] = {
+    "sigs": ["content_hash"],
+    "normed": ["url"],
+    "verdicts": ["hash_lo", "hash_hi"],
+}
+
+
+def _bspec(table: str, n_buckets: int):
+    cols = _STATE_BUCKET_COLS.get(table)
+    return (cols, n_buckets) if n_buckets and cols else None
+
 _CONFIG_GUARD = "_PIPELINE_CONFIG.json"
 
 # data-dependent broadcast guard: the blast-radius frames are usually
@@ -169,6 +188,7 @@ def _batch_recompute(
     new_slim: DataFrame,
     all_keys: DataFrame,
     compact_every: int,
+    state_buckets: int = 0,
 ) -> DataFrame:
     """Batch-over-state leg of the adaptive cutover (VERDICT r4 #3).
 
@@ -305,7 +325,12 @@ def _batch_recompute(
     catalog.write(clusters, "clusters")
     if compact_every:
         for table in ("sigs", "normed", "verdicts"):
-            catalog.maybe_compact(spark, table, max_deltas=compact_every)
+            catalog.maybe_compact(
+                spark,
+                table,
+                max_deltas=compact_every,
+                bucket_by=_bspec(table, state_buckets),
+            )
     return catalog.read(spark, "clusters")
 
 
@@ -317,6 +342,7 @@ def incremental_dedup(
     stats_out: dict | None = None,
     compact_every: int = 16,
     batch_cutover_frac: float | None = 1 / 3,
+    state_buckets: int = 0,
 ) -> DataFrame:
     """Process a new snapshot against persisted state; returns the
     updated full clusters table (also written as a new snapshot),
@@ -345,6 +371,12 @@ def incremental_dedup(
     ``verdicts`` (unordered content-hash pair -> is_dup), ``pair_cnt``
     (pair -> bucket-refcount deltas). ``compact_every`` bounds each
     table's delta-snapshot chain (catalog.maybe_compact).
+
+    ``state_buckets``: when > 0, FULL snapshots of sigs/normed/
+    verdicts (first ingest + compactions) are written hash-bucketed on
+    their join keys into that many buckets (_STATE_BUCKET_COLS).
+    Layout only — clusters are bit-identical either way, so it is NOT
+    part of config_hash and can be turned on at any compaction.
 
     ``stats_out``, when given, is filled with:
 
@@ -546,6 +578,7 @@ def incremental_dedup(
                 spark, catalog, pcfg, fence, stats_out,
                 old_sigs, old_verdicts, old_normed,
                 new_normed, new_sigs, new_slim, all_keys, compact_every,
+                state_buckets,
             )
     if stats_out is not None:
         stats_out["mode"] = "delta" if has_state else "initial"
@@ -1228,9 +1261,15 @@ def incremental_dedup(
         catalog.append(new_verdicts, "verdicts")
         catalog.append(changed, "pair_cnt")
     else:
-        catalog.write(new_sigs, "sigs")
-        catalog.write(new_slim, "normed")
-        catalog.write(new_verdicts, "verdicts")
+        catalog.write(new_sigs, "sigs", bucket_by=_bspec("sigs", state_buckets))
+        catalog.write(
+            new_slim, "normed", bucket_by=_bspec("normed", state_buckets)
+        )
+        catalog.write(
+            new_verdicts,
+            "verdicts",
+            bucket_by=_bspec("verdicts", state_buckets),
+        )
         catalog.write(changed, "pair_cnt")
     catalog.write(clusters, "clusters")
 
@@ -1240,7 +1279,12 @@ def incremental_dedup(
     # drop out (an absent pair reads as count 0, identically).
     if compact_every:
         for table in ("sigs", "normed", "verdicts"):
-            catalog.maybe_compact(spark, table, max_deltas=compact_every)
+            catalog.maybe_compact(
+                spark,
+                table,
+                max_deltas=compact_every,
+                bucket_by=_bspec(table, state_buckets),
+            )
         catalog.maybe_compact(
             spark,
             "pair_cnt",
