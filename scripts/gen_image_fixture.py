@@ -139,6 +139,188 @@ def gif_palette(px_idx: "np.ndarray", palette: "np.ndarray",
     )
 
 
+_JZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_JPEG_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JBitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad the final byte with 1-bits (T.81)
+
+
+def jpeg_baseline(
+    planes: list,
+    samps: list,
+    qts: list,
+    w: int,
+    h: int,
+    dri: int = 0,
+) -> tuple[bytes, list]:
+    """Independent baseline JPEG encoder (ITU-T T.81) — the oracle for
+    decode._jpeg_baseline, written from the spec, not from the decoder.
+
+    ``planes[i]`` is a float/int array already padded to the MCU grid:
+    shape (mcuy*8*v_i, mcux*8*h_i) for sampling factors ``samps[i] =
+    (h_i, v_i)``; ``qts[i]`` is that component's 64-entry natural-order
+    quant table (DQT id = component index). Huffman tables are minimal
+    valid canonical tables (all 12 DC symbols at 5 bits, all 162 AC
+    run/size symbols at 8 bits — the k-th symbol's canonical code is
+    just k). ``dri`` > 0 emits restart markers every ``dri`` MCUs.
+
+    Returns (payload, quantized coefficient blocks per plane) — the
+    coefficients let the test reconstruct expected pixels with a slow
+    direct cosine-sum IDCT, independent of the decoder's matrix IDCT.
+    """
+    n_comp = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    qblocks = []
+    for pl, (sh_, sv_), qt in zip(planes, samps, qts):
+        ph, pw = mcuy * 8 * sv_, mcux * 8 * sh_
+        assert pl.shape == (ph, pw), (pl.shape, (ph, pw))
+        qn = np.asarray(qt, np.float64).reshape(8, 8)
+        qb = np.zeros((ph // 8, pw // 8, 8, 8), np.int32)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                f = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                F = _JPEG_A @ (np.asarray(f, np.float64) - 128.0) @ _JPEG_A.T
+                qb[by, bx] = np.round(F / qn).astype(np.int32)
+        qblocks.append(qb)
+
+    dc_syms = bytes(range(12))
+    ac_syms = bytes(
+        [0x00]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [0xF0]
+    )
+    dc_code = {sym: (5, k) for k, sym in enumerate(dc_syms)}
+    ac_code = {sym: (8, k) for k, sym in enumerate(ac_syms)}
+
+    bw = _JBitWriter()
+    preds = [0] * n_comp
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0] * n_comp
+        my, mx = divmod(m, mcux)
+        for ci in range(n_comp):
+            sh_, sv_ = samps[ci]
+            for by in range(sv_):
+                for bx in range(sh_):
+                    blk = qblocks[ci][my * sv_ + by, mx * sh_ + bx]
+                    zz = blk.reshape(64)[list(_JZZ)]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    s = abs(diff).bit_length()
+                    ln, code = dc_code[s]
+                    bw.put(code, ln)
+                    if s:
+                        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_code[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        s = abs(v).bit_length()
+                        ln, code = ac_code[(run << 4) | s]
+                        bw.put(code, ln)
+                        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        ln, code = ac_code[0x00]
+                        bw.put(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qts):
+        zz_q = np.asarray(qt, np.int64)[list(_JZZ)]  # DQT is zigzag order
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">H", 3 + 64)
+            + bytes([tq])
+            + bytes(int(x) & 0xFF for x in zz_q)
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, n_comp))
+    for ci, (sh_, sv_) in enumerate(samps):
+        sof += bytes([ci + 1, (sh_ << 4) | sv_, ci])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = bytes([0, 0, 0, 0, 12] + [0] * 11)
+    ac_counts = bytes([0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8)
+    for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
+        body = bytes([tc << 4]) + counts + syms  # table id 0, shared
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytearray([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out + b"\xff\xd9"
+    return bytes(out), qblocks
+
+
+def jpeg_gray(px: "np.ndarray", qt=None, dri: int = 0) -> bytes:
+    """Encode an (h, w) uint8 grayscale image: edge-pad to the 8x8
+    grid, quant table defaults to all-ones (lossless-after-rounding)."""
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(
+        px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+    payload, _ = jpeg_baseline(
+        [plane], [(1, 1)], [np.ones(64, np.int64) if qt is None else qt], w, h,
+        dri=dri,
+    )
+    return payload
+
+
 def jpeg_header(w: int, h: int) -> bytes:
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
     # padded with fill bytes before SOF to exercise the 0xFF-skip path
@@ -204,8 +386,31 @@ def build_rows() -> tuple[list[dict], list[dict]]:
             gif_palette(idx, palette, interlace=inter),
             "gif", w, h, bmp_thumb_size(w, h),
         )
+    # baseline JPEG: REAL entropy decode (round 5) — grayscale with
+    # restart markers, and 4:2:0 color; thumb size by the same BMP
+    # arithmetic (decode crops the MCU padding back to w x h)
+    jg = rng.randint(0, 256, size=(45, 37)).astype(np.uint8)
+    add(
+        "img://jpeg/gray", jpeg_gray(jg, dri=3), "jpeg", 37, 45,
+        bmp_thumb_size(37, 45),
+    )
+    w420, h420 = 60, 42  # mcu grid 4x3 -> Y 48x64, chroma 24x32
+    ypl = rng.randint(0, 256, size=(48, 64)).astype(np.float64)
+    cbp = rng.randint(64, 192, size=(24, 32)).astype(np.float64)
+    crp = rng.randint(64, 192, size=(24, 32)).astype(np.float64)
+    qt1 = np.ones(64, np.int64)
+    qt2 = np.full(64, 2, np.int64)
+    jc, _ = jpeg_baseline(
+        [ypl, cbp, crp], [(2, 2), (1, 1), (1, 1)], [qt1, qt2, qt2],
+        w420, h420,
+    )
+    add(
+        "img://jpeg/c420", jc, "jpeg", w420, h420,
+        bmp_thumb_size(w420, h420),
+    )
     # header-only / truncated GIF (no frame): NULL thumb
     add("img://gif/hdr", gif_header(320, 200), "gif", 320, 200, None)
+    # header-only JPEG (no scan data): still an honest NULL thumb
     add("img://jpeg/0", jpeg_header(1920, 1080), "jpeg", 1920, 1080, None)
     add("img://webp/0", webp_vp8l(800, 600), "webp", 800, 600, None)
     # junk / truncated

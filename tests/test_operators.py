@@ -1046,3 +1046,161 @@ def test_pixel_decode_round_trip():
     thumb = make_thumbnail(png_bytes(px, 2, [0]), 8)  # step 3 -> 8x6
     assert np.array_equal(decode_pixels(thumb), px[::3, ::3])
     assert make_thumbnail(b"\xff\xd8\xff\xe0junk", 8) is None
+
+
+def test_incremental_state_buckets_matches_batch(spark, tmp_path):
+    """state_buckets is layout only: with bucketed full snapshots and
+    per-ingest compaction (so the SECOND ingest reads its sigs/normed/
+    verdicts state through the registered bucketed tables), clusters
+    must still equal batch run_pipeline bit-for-bit."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pages, _ = gen_corpus(400, seed=31, label_pairs=False)
+    bres = run_pipeline(spark, spark.createDataFrame(pages))
+    batch = {
+        (r.url, r.cluster_id, r.is_canonical) for r in bres.clusters.collect()
+    }
+    bres.unpersist()
+
+    cat = LocalParquetCatalog(tmp_path / "bucketed_state")
+    cut = (len(pages) * 9) // 10
+    incremental_dedup(
+        spark,
+        cat,
+        spark.createDataFrame(pages[:cut]),
+        compact_every=1,
+        state_buckets=4,
+    )
+    # the full snapshots on disk really are bucketed (file naming is
+    # Spark's bucket suffix: part-...._00003.c000...)
+    sigs_files = list((cat.root / "sigs").rglob("part-*_0000*"))
+    assert sigs_files, "expected bucketed file layout for sigs"
+    got = incremental_dedup(
+        spark,
+        cat,
+        spark.createDataFrame(pages[cut:]),
+        compact_every=1,
+        state_buckets=4,
+        batch_cutover_frac=None,
+    )
+    assert {(r.url, r.cluster_id, r.is_canonical) for r in got.collect()} == batch
+
+
+def test_jpeg_baseline_decode_pinned():
+    """_jpeg_baseline must reproduce, bit-for-bit, the pixels implied
+    by the INDEPENDENT fixture encoder's quantized coefficients, with
+    expected pixels reconstructed by a slow direct cosine-sum IDCT
+    (different algorithm than the decoder's matrix IDCT): grayscale,
+    restart markers, 4:4:4 and 4:2:0 color. Progressive (SOF2) stays
+    an honest None."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    import numpy as np
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "scripts"))
+    from gen_image_fixture import jpeg_baseline
+
+    from ufuzzy_spark.multimodal.decode import decode_pixels
+
+    def slow_idct(C):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 0.7071067811865476 if u == 0 else 1.0
+                        cv = 0.7071067811865476 if v == 0 else 1.0
+                        acc += (
+                            cu * cv * C[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                            * np.cos((2 * y + 1) * v * np.pi / 16.0)
+                        )
+                out[x, y] = acc / 4.0
+        return out
+
+    def recon(qb, qt):
+        nby, nbx = qb.shape[:2]
+        pl = np.zeros((nby * 8, nbx * 8))
+        qn = np.asarray(qt, np.float64).reshape(8, 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = slow_idct(
+                    qb[by, bx] * qn
+                )
+        return pl
+
+    rng = np.random.RandomState(5)
+
+    # grayscale 21x13 (plane 24x16), dequant step 3 on DC
+    w, h = 21, 13
+    gray = rng.randint(0, 256, size=(16, 24)).astype(np.float64)
+    qt = np.ones(64, np.int64)
+    qt[0] = 3
+    payload, qbs = jpeg_baseline([gray], [(1, 1)], [qt], w, h)
+    exp = np.clip(np.round(recon(qbs[0], qt)[:h, :w] + 128.0), 0, 255).astype(
+        np.uint8
+    )
+    got = decode_pixels(payload)
+    assert got is not None
+    assert np.array_equal(got, np.repeat(exp[:, :, None], 3, axis=2))
+
+    # restart markers: same image, DRI=2 — identical pixels from a
+    # segmented bitstream (DC predictors reset per segment)
+    payload_r, qbs_r = jpeg_baseline([gray], [(1, 1)], [qt], w, h, dri=2)
+    assert payload_r != payload
+    got_r = decode_pixels(payload_r)
+    assert np.array_equal(got_r, np.repeat(exp[:, :, None], 3, axis=2))
+
+    # 4:2:0 color 19x11: Y 16x32 (2x2 blocks/MCU), chroma 8x16
+    w, h = 19, 11
+    ypl = rng.randint(0, 256, size=(16, 32)).astype(np.float64)
+    cbp = rng.randint(64, 192, size=(8, 16)).astype(np.float64)
+    crp = rng.randint(64, 192, size=(8, 16)).astype(np.float64)
+    qty = np.ones(64, np.int64)
+    qtc = np.full(64, 2, np.int64)
+    payload, qbs = jpeg_baseline(
+        [ypl, cbp, crp], [(2, 2), (1, 1), (1, 1)], [qty, qtc, qtc], w, h
+    )
+    yv = recon(qbs[0], qty)[:h, :w] + 128.0
+    cbv = np.repeat(np.repeat(recon(qbs[1], qtc), 2, axis=0), 2, axis=1)[:h, :w]
+    crv = np.repeat(np.repeat(recon(qbs[2], qtc), 2, axis=0), 2, axis=1)[:h, :w]
+    rgb = np.stack(
+        [
+            yv + 1.402 * crv,
+            yv - 0.344136 * cbv - 0.714136 * crv,
+            yv + 1.772 * cbv,
+        ],
+        axis=2,
+    )
+    exp_rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_pixels(payload), exp_rgb)
+
+    # 4:4:4 color 10x10: all planes 16x16, one block per component/MCU
+    w, h = 10, 10
+    planes = [
+        rng.randint(0, 256, size=(16, 16)).astype(np.float64) for _ in range(3)
+    ]
+    payload, qbs = jpeg_baseline(
+        planes, [(1, 1), (1, 1), (1, 1)], [qty, qtc, qtc], w, h
+    )
+    yv = recon(qbs[0], qty)[:h, :w] + 128.0
+    cbv = recon(qbs[1], qtc)[:h, :w]
+    crv = recon(qbs[2], qtc)[:h, :w]
+    rgb = np.stack(
+        [
+            yv + 1.402 * crv,
+            yv - 0.344136 * cbv - 0.714136 * crv,
+            yv + 1.772 * cbv,
+        ],
+        axis=2,
+    )
+    exp_rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_pixels(payload), exp_rgb)
+
+    # progressive: flip SOF0 -> SOF2; must be an honest None
+    assert decode_pixels(payload.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
