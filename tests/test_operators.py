@@ -1204,3 +1204,32 @@ def test_jpeg_baseline_decode_pinned():
 
     # progressive: flip SOF0 -> SOF2; must be an honest None
     assert decode_pixels(payload.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+
+
+def test_connected_components_long_chain(spark):
+    """Near-dup CHAINS (template pages under successive edits) produce
+    high-diameter components — the sf0.1 documents table holds one of
+    diameter >= 11, which cost 12 one-hop rounds before pointer
+    jumping (round 5). A 60-node path converges only through the jump
+    step (one-hop propagation would need 59 > max_iter rounds and
+    raise); labels must still be the component-min url exactly."""
+    from ufuzzy_spark.operators.components import connected_components
+
+    edges = [(f"u{i:03d}", f"u{i + 1:03d}") for i in range(59)]
+    # a second, disjoint chain rooted at a lexically larger url
+    edges += [(f"w{i:03d}", f"w{i + 1:03d}") for i in range(30)]
+    df = spark.createDataFrame(edges, ["url_a", "url_b"])
+    nodes = spark.createDataFrame(
+        [(f"u{i:03d}",) for i in range(60)]
+        + [(f"w{i:03d}",) for i in range(31)]
+        + [("zzz_isolated",)],
+        ["url"],
+    )
+    got = {
+        (r.url, r.cluster_id)
+        for r in connected_components(df, all_nodes=nodes).collect()
+    }
+    want = {(f"u{i:03d}", "u000") for i in range(60)}
+    want |= {(f"w{i:03d}", "w000") for i in range(31)}
+    want.add(("zzz_isolated", "zzz_isolated"))
+    assert got == want

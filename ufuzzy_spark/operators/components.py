@@ -1,16 +1,25 @@
 """Connected components over verified dup edges -> cluster ids.
 
-Iterative min-label propagation to fixpoint, driver-owned loop
-(Catalyst cannot express iteration; SURVEY.md §4). Dup graphs are
-near-star-shaped (mutated copies around a base doc), so convergence
-is O(cluster diameter) — typically 2-4 rounds. Each round:
+Iterative min-label propagation with pointer jumping, driver-owned
+loop (Catalyst cannot express iteration; SURVEY.md §4). Each round:
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
+    label(v) <- min(label(v), min over neighbors u of label(u))   # hop
+    label(v) <- min(label(v), label(label(v)))                    # jump
 
-with ``localCheckpoint`` per round to truncate lineage (the plan
-would otherwise double every iteration). Labels are the cluster's
-minimum url — deterministic and shuffle-stable, matching the fixture
-convention (FIXTURES.md F4: cluster_id = min url in cluster).
+The hop alone is O(cluster diameter) rounds — fine for the star
+shapes exact-dup groups form, but real web corpora also produce
+near-dup CHAINS (template pages with successive edits): the sf0.1
+documents table contains a component of diameter >= 11, measured as
+12 rounds / ~37 s before the jump step was added (round 5). The jump
+treats the label table itself as a second edge set — label(v) is
+always the url of a node in v's component (min over a reachable
+subset), so label(label(v)) stays in-component and chain distance
+halves per round: O(log diameter) rounds total, the same device
+GraphX/GraphFrames CC uses. Each round ``localCheckpoint``s to
+truncate lineage (the plan would otherwise double every iteration).
+Labels are the cluster's minimum url — deterministic and
+shuffle-stable, matching the fixture convention (FIXTURES.md F4:
+cluster_id = min url in cluster).
 """
 
 from __future__ import annotations
@@ -54,31 +63,49 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "url")
         )
+        hopped = labels.join(nbr_min, "url", "left").select(
+            "url",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label(v) <- min(label(v), label(label(v))).
+        # Every label is the url of an in-component node, and every
+        # node has a labels row, so the lookup is a left join of the
+        # hopped table against itself keyed on label = url (null only
+        # transiently impossible; coalesce keeps it total regardless)
         new_labels = (
-            labels.join(nbr_min, "url", "left")
+            hopped.join(
+                hopped.select(
+                    F.col("url").alias("label"),
+                    F.col("label").alias("jump_label"),
+                ),
+                "label",
+                "left",
+            )
             .select(
                 "url",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("jump_label", F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
         old_labels = labels
         labels = new_labels
-        # dup graphs are near-stars: round 1 settles most labels, so
-        # spend the convergence-check job only every other round after
-        if it == 0 or it % 2 == 1:
-            changed = (
-                new_labels.alias("n")
-                .join(old_labels.alias("o"), "url")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                converged = True
-                break
+        # jumping converges in O(log diameter) rounds, so every round
+        # is near the last — spend the convergence-check job each time
+        changed = (
+            new_labels.alias("n")
+            .join(old_labels.alias("o"), "url")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            converged = True
+            break
 
     if not converged:
         # labels move one hop per round; a dup chain with diameter >
