@@ -90,15 +90,23 @@ def main() -> None:
     snap2 = pages.where(F.pmod(F.xxhash64("url"), F.lit(m)) >= m - 1)
     n1, n2 = snap1.count(), snap2.count()
 
-    def timed(fn):
+    from ufuzzy_spark.bench_util import read_proc_stat, stat_delta
+
+    host_traces: dict[str, dict] = {}
+
+    def timed(fn, leg: str = ""):
+        stat0 = read_proc_stat()
         t0 = time.time()
         out = fn()
-        return out, round(time.time() - t0, 2)
+        wall = round(time.time() - t0, 2)
+        if leg:
+            host_traces[leg] = stat_delta(stat0, read_proc_stat())
+        return out, wall
 
     # warm Python workers / JIT on a slice so t_batch isn't spin-up
     run_pipeline(spark, pages.limit(2000)).unpersist()
 
-    batch_res, t_batch = timed(lambda: run_pipeline(spark, pages))
+    batch_res, t_batch = timed(lambda: run_pipeline(spark, pages), "batch")
     batch_clusters = batch_res.clusters.select("url", "cluster_id")
     batch_clusters = batch_clusters.localCheckpoint()
     n_batch_clusters = batch_clusters.select("cluster_id").distinct().count()
@@ -106,10 +114,10 @@ def main() -> None:
 
     shutil.rmtree(args.state_dir, ignore_errors=True)
     cat = LocalParquetCatalog(args.state_dir)
-    _, t_snap1 = timed(lambda: incremental_dedup(spark, cat, snap1))
+    _, t_snap1 = timed(lambda: incremental_dedup(spark, cat, snap1), "snap1")
     stats: dict = {}
     inc, t_snap2 = timed(
-        lambda: incremental_dedup(spark, cat, snap2, stats_out=stats)
+        lambda: incremental_dedup(spark, cat, snap2, stats_out=stats), "snap2"
     )
 
     inc_clusters = inc.select("url", "cluster_id")
@@ -134,6 +142,10 @@ def main() -> None:
         stats.get("touched_buckets", 0) / max(total_buckets, 1), 4
     )
 
+    # same stated rule as scripts/scaling_bench.py: a leg is admissible
+    # iff co-tenant steal stayed under 1% of all CPU jiffies during it
+    admissible = all(t["steal_pct"] < 1.0 for t in host_traces.values())
+
     result = {
         "rows": n1 + n2,
         "snap1_docs": n1,
@@ -147,6 +159,8 @@ def main() -> None:
         "clusters": n_batch_clusters,
         "inc_equals_batch": sym_diff == 0,
         "stats": stats,
+        "host": host_traces,
+        "admissible_steal_lt_1pct": admissible,
         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
     }
     print(json.dumps(result))
@@ -173,6 +187,11 @@ def main() -> None:
         f"Clusters: {n_batch_clusters}; incremental == batch on "
         f"(url, cluster_id): {'YES (symmetric diff 0)' if sym_diff == 0 else f'NO ({sym_diff} rows differ)'}.",
         f"Snapshot-2 memo stats: {json.dumps(stats)}.",
+        "Per-leg steal%: "
+        + ", ".join(
+            f"{k} {v['steal_pct']}" for k, v in host_traces.items()
+        )
+        + f". Admissible (steal < 1% every leg): {'YES' if admissible else 'NO'}.",
         "",
     ]
     with out.open("a") as f:
