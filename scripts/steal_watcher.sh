@@ -1,0 +1,53 @@
+#!/bin/bash
+# Quiet-window hunter for the incremental-ingest bench.
+#
+# Co-tenant steal on this host arrives in multi-hour windows and a
+# short pre-launch sample does not predict a run (BENCH/BASELINE.md,
+# round-5 draws #1-#6). This watcher samples /proc/stat over 120 s
+# windows and only launches scripts/incremental_bench.py when
+#   - steal over the sample window is < 0.3% of all jiffies, and
+#   - no pytest / other bench is holding the CPUs (clean walls).
+# After each launch it checks the bench's own all-legs-< 1% verdict
+# and exits on the first admissible draw.
+#
+# Usage: bash scripts/steal_watcher.sh [max_seconds] [input_parquet]
+set -u
+MAX_S=${1:-14400}
+INPUT=${2:-/tmp/ufz_bench_1M/pages.parquet}
+T0=$(date +%s)
+LOG=/tmp/steal_watcher.log
+
+sample_steal() { # echoes steal%% over a $1-second window
+  local dur=$1
+  read -r _ a b c d e f g h _ < /proc/stat
+  local s0=$h t0=$((a+b+c+d+e+f+g+h))
+  sleep "$dur"
+  read -r _ a b c d e f g h _ < /proc/stat
+  local s1=$h t1=$((a+b+c+d+e+f+g+h))
+  awk -v s=$((s1-s0)) -v t=$((t1-t0)) 'BEGIN{printf "%.3f", 100*s/t}'
+}
+
+while :; do
+  now=$(date +%s)
+  if (( now - T0 > MAX_S )); then
+    echo "$(date -u +%FT%TZ) watcher: window never opened in ${MAX_S}s, giving up" >> "$LOG"
+    exit 1
+  fi
+  if pgrep -f "pytest|incremental_bench|scaling_bench" > /dev/null; then
+    echo "$(date -u +%FT%TZ) watcher: CPUs busy with tests/bench, waiting" >> "$LOG"
+    sleep 120
+    continue
+  fi
+  st=$(sample_steal 120)
+  echo "$(date -u +%FT%TZ) watcher: 120s steal ${st}%" >> "$LOG"
+  if awk -v s="$st" 'BEGIN{exit !(s < 0.3)}'; then
+    echo "$(date -u +%FT%TZ) watcher: quiet window, launching bench" >> "$LOG"
+    python scripts/incremental_bench.py --input "$INPUT" --cores 16 \
+      > /tmp/inc_bench_watch.log 2>&1
+    if grep -q '"admissible_steal_lt_1pct": true' /tmp/inc_bench_watch.log; then
+      echo "$(date -u +%FT%TZ) watcher: ADMISSIBLE draw landed" >> "$LOG"
+      exit 0
+    fi
+    echo "$(date -u +%FT%TZ) watcher: draw inadmissible, resuming hunt" >> "$LOG"
+  fi
+done
