@@ -146,17 +146,70 @@ _JZZ = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
 
-_JPEG_A = np.array(
+# cos(k*pi/16) for k = 0..8 as exact double literals. Hardcoded (not
+# np.cos) so the fixture bytes are identical on every host: glibc's
+# vectorized cos is ifunc-dispatched per CPU and can differ in the
+# last ulp, which — through the quantizer's round() — flipped entropy
+# bytes between two VMs of the same image (tests/test_entry_parity.py
+# ::test_image_fixture_fresh caught it).
+_COS16 = (
+    1.0,
+    0.9807852804032304,
+    0.9238795325112867,
+    0.8314696123025452,
+    0.7071067811865476,
+    0.5555702330196022,
+    0.38268343236508984,
+    0.19509032201612833,
+    0.0,
+)
+
+
+def _cos16(m: int) -> float:
+    """cos(m * pi / 16) by exact symmetry reduction onto _COS16."""
+    m %= 32
+    if m > 16:
+        m = 32 - m
+    return -_COS16[16 - m] if m > 8 else _COS16[m]
+
+
+# _JPEG_A[u][x] = c(u)/2 * cos((2x+1) u pi / 16), plain Python floats
+_JPEG_A = [
     [
+        (_COS16[4] if u == 0 else 1.0) / 2.0 * _cos16((2 * x + 1) * u)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _dct2_quant(f, qn):
+    """8x8 forward DCT + quantization, bit-deterministic across hosts.
+
+    Scalar Python-float accumulation in a fixed order: BLAS matmul
+    (the previous `A @ f @ A.T`) dispatches on CPU features and its
+    reduction order/FMA use varies between hosts, so quantized
+    coefficients sitting near a rounding tie flipped between VMs.
+    IEEE-754 scalar ops are exact functions of their inputs, so this
+    path produces identical bytes everywhere. round-half-even matches
+    the np.round the encoder previously used.
+    """
+    g = [[float(f[y][x]) - 128.0 for x in range(8)] for y in range(8)]
+    # t = A @ g  (t[u][x] = sum_y A[u][y] * g[y][x])
+    t = [
         [
-            (np.sqrt(0.5) if u == 0 else 1.0)
-            / 2.0
-            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            sum(_JPEG_A[u][y] * g[y][x] for y in range(8))
             for x in range(8)
         ]
         for u in range(8)
     ]
-)
+    # F = t @ A.T; quantize
+    out = np.zeros((8, 8), np.int32)
+    for u in range(8):
+        for v in range(8):
+            acc = sum(t[u][y] * _JPEG_A[v][y] for y in range(8))
+            out[u, v] = int(round(acc / float(qn[u][v])))
+    return out
 
 
 class _JBitWriter:
@@ -221,8 +274,9 @@ def jpeg_baseline(
         for by in range(ph // 8):
             for bx in range(pw // 8):
                 f = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                F = _JPEG_A @ (np.asarray(f, np.float64) - 128.0) @ _JPEG_A.T
-                qb[by, bx] = np.round(F / qn).astype(np.int32)
+                qb[by, bx] = _dct2_quant(
+                    np.asarray(f, np.float64), qn
+                )
         qblocks.append(qb)
 
     dc_syms = bytes(range(12))
