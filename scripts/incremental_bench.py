@@ -52,6 +52,18 @@ def main() -> None:
         "larger N to hold the ABSOLUTE snapshot size constant across "
         "corpus sizes — the flat-absorption experiment)",
     )
+    ap.add_argument(
+        "--legs",
+        choices=["both", "batch"],
+        default="both",
+        help="'batch' runs only the batch-recompute leg. The pipeline "
+        "is bit-deterministic on a fixed input (memo stats and cluster "
+        "assignments are identical across every recorded draw), so "
+        "per-leg walls measured in DIFFERENT quiet windows compose "
+        "into an honest snap2/batch ratio when a single window long "
+        "enough for all three legs cannot be caught (see the round-5 "
+        "steal notes in BENCH/BASELINE.md)",
+    )
     ap.add_argument("--state-dir", default="/dev/shm/ufz_inc_cat")
     ap.add_argument("--local-dir", default="/dev/shm/ufz_spark_local")
     ap.add_argument("--out-md", default="BENCH/BASELINE.md")
@@ -111,6 +123,38 @@ def main() -> None:
     batch_clusters = batch_clusters.localCheckpoint()
     n_batch_clusters = batch_clusters.select("cluster_id").distinct().count()
     batch_res.unpersist()
+
+    if args.legs == "batch":
+        admissible = host_traces["batch"]["steal_pct"] < 1.0
+        result = {
+            "rows": n1 + n2,
+            "cores": args.cores,
+            "legs": "batch",
+            "t_batch_full_sec": t_batch,
+            "clusters": n_batch_clusters,
+            "host": host_traces,
+            "admissible_steal_lt_1pct": admissible,
+            "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        print(json.dumps(result))
+        with Path(args.out_md).open("a") as f:
+            f.write(
+                f"\n## Incremental-ingest bench (batch leg only) "
+                f"{result['ts']}\n\n"
+                f"Input: {input_path} ({n1 + n2} docs); "
+                f"local[{args.cores}]"
+                + (
+                    f", spark.local.dir={args.local_dir} (tmpfs)"
+                    if args.local_dir
+                    else ""
+                )
+                + f". Batch recompute over all {n1 + n2} docs: "
+                f"**{t_batch} s**; clusters {n_batch_clusters}. "
+                f"Steal during leg: {host_traces['batch']['steal_pct']}%"
+                f". Admissible (< 1%): {'YES' if admissible else 'NO'}.\n"
+            )
+        print(f"appended to {args.out_md}")
+        return
 
     shutil.rmtree(args.state_dir, ignore_errors=True)
     cat = LocalParquetCatalog(args.state_dir)

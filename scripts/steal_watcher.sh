@@ -10,10 +10,12 @@
 # After each launch it checks the bench's own all-legs-< 1% verdict
 # and exits on the first admissible draw.
 #
-# Usage: bash scripts/steal_watcher.sh [max_seconds] [input_parquet]
+# Usage: bash scripts/steal_watcher.sh [max_seconds] [input_parquet] [extra bench args...]
 set -u
 MAX_S=${1:-14400}
 INPUT=${2:-/tmp/ufz_bench_1M/pages.parquet}
+shift $(( $# > 2 ? 2 : $# ))
+EXTRA=("$@")
 T0=$(date +%s)
 LOG=/tmp/steal_watcher.log
 
@@ -43,7 +45,7 @@ while :; do
   if awk -v s="$st" 'BEGIN{exit !(s < 0.3)}'; then
     echo "$(date -u +%FT%TZ) watcher: quiet window, launching bench" >> "$LOG"
     python scripts/incremental_bench.py --input "$INPUT" --cores 16 \
-      > /tmp/inc_bench_watch.log 2>&1
+      ${EXTRA[@]+"${EXTRA[@]}"} > /tmp/inc_bench_watch.log 2>&1
     if grep -q '"admissible_steal_lt_1pct": true' /tmp/inc_bench_watch.log; then
       echo "$(date -u +%FT%TZ) watcher: ADMISSIBLE draw landed" >> "$LOG"
       exit 0
