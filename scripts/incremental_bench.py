@@ -54,7 +54,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--legs",
-        choices=["both", "batch"],
+        choices=["both", "batch", "prep", "snap2"],
         default="both",
         help="'batch' runs only the batch-recompute leg. The pipeline "
         "is bit-deterministic on a fixed input (memo stats and cluster "
@@ -62,7 +62,11 @@ def main() -> None:
         "per-leg walls measured in DIFFERENT quiet windows compose "
         "into an honest snap2/batch ratio when a single window long "
         "enough for all three legs cannot be caught (see the round-5 "
-        "steal notes in BENCH/BASELINE.md)",
+        "steal notes in BENCH/BASELINE.md). 'prep' builds snapshot-1 "
+        "state into --state-dir and LEAVES it (untimed setup); "
+        "'snap2' copies that state aside and runs only the headline "
+        "absorption leg — a few-minute retryable unit that fits "
+        "between co-tenant bursts",
     )
     ap.add_argument("--state-dir", default="/dev/shm/ufz_inc_cat")
     ap.add_argument("--local-dir", default="/dev/shm/ufz_spark_local")
@@ -115,8 +119,100 @@ def main() -> None:
             host_traces[leg] = stat_delta(stat0, read_proc_stat())
         return out, wall
 
-    # warm Python workers / JIT on a slice so t_batch isn't spin-up
+    # warm Python workers / JIT on a slice so the first timed leg
+    # isn't spin-up (every mode times something downstream of this)
     run_pipeline(spark, pages.limit(2000)).unpersist()
+
+    if args.legs == "prep":
+        # untimed setup for later --legs snap2 runs: build snapshot-1
+        # state and LEAVE it in --state-dir
+        shutil.rmtree(args.state_dir, ignore_errors=True)
+        cat = LocalParquetCatalog(args.state_dir)
+        _, t_snap1 = timed(lambda: incremental_dedup(spark, cat, snap1), "snap1")
+        print(
+            json.dumps(
+                {
+                    "legs": "prep",
+                    "rows": n1 + n2,
+                    "snap1_docs": n1,
+                    "t_snap1_sec": t_snap1,
+                    "state_dir": args.state_dir,
+                    "host": host_traces,
+                    "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+                }
+            )
+        )
+        return
+
+    if args.legs == "snap2":
+        # headline absorption only, against a COPY of prepared state —
+        # the copy keeps the source reusable for retries
+        if not Path(args.state_dir).exists():
+            raise SystemExit(
+                f"--legs snap2 needs state prepared at {args.state_dir} "
+                "(run --legs prep first)"
+            )
+        run_dir = args.state_dir.rstrip("/") + "_run"
+        shutil.rmtree(run_dir, ignore_errors=True)
+        shutil.copytree(args.state_dir, run_dir)
+        cat = LocalParquetCatalog(run_dir)
+        stats: dict = {}
+        inc, t_snap2 = timed(
+            lambda: incremental_dedup(spark, cat, snap2, stats_out=stats),
+            "snap2",
+        )
+        n_clusters = inc.select("cluster_id").distinct().count()
+        from ufuzzy_spark.config import PipelineConfig
+        from ufuzzy_spark.streaming.incremental import _hash_postings
+
+        total_buckets = (
+            _hash_postings(cat.read_all(spark, "sigs"), PipelineConfig())
+            .select("band_id", "band_hash")
+            .distinct()
+            .count()
+        )
+        stats["total_buckets"] = total_buckets
+        stats["touched_bucket_frac"] = round(
+            stats.get("touched_buckets", 0) / max(total_buckets, 1), 4
+        )
+        admissible = host_traces["snap2"]["steal_pct"] < 1.0
+        result = {
+            "legs": "snap2",
+            "rows": n1 + n2,
+            "snap1_docs": n1,
+            "snap2_docs": n2,
+            "cores": args.cores,
+            "t_snap2_sec": t_snap2,
+            "snap2_new_docs_per_sec": round(n2 / t_snap2, 1),
+            "clusters": n_clusters,
+            "stats": stats,
+            "host": host_traces,
+            "admissible_steal_lt_1pct": admissible,
+            "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        print(json.dumps(result))
+        shutil.rmtree(run_dir, ignore_errors=True)
+        with Path(args.out_md).open("a") as f:
+            f.write(
+                f"\n## Incremental-ingest bench (snap2 leg only) "
+                f"{result['ts']}\n\n"
+                f"Input: {input_path} ({n1 + n2} docs, snapshot 2 = "
+                f"{n2} docs, split-mod {m}); local[{args.cores}]"
+                + (
+                    f", spark.local.dir={args.local_dir} (tmpfs)"
+                    if args.local_dir
+                    else ""
+                )
+                + f"; prepared state from {args.state_dir}. "
+                f"Absorbing snapshot 2: **{t_snap2} s** "
+                f"({result['snap2_new_docs_per_sec']} new docs/s); "
+                f"clusters {n_clusters}. "
+                f"Memo stats: {json.dumps(stats)}. "
+                f"Steal during leg: {host_traces['snap2']['steal_pct']}%"
+                f". Admissible (< 1%): {'YES' if admissible else 'NO'}.\n"
+            )
+        print(f"appended to {args.out_md}")
+        return
 
     batch_res, t_batch = timed(lambda: run_pipeline(spark, pages), "batch")
     batch_clusters = batch_res.clusters.select("url", "cluster_id")
