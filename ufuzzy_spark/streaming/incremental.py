@@ -203,7 +203,7 @@ def _batch_recompute(
     content. Output clusters are bit-equal to ``run_pipeline`` over
     the union of all snapshots (same reps, same bucket members, same
     verdict keys, same CC labels; pinned by
-    tests/test_incremental.py::test_cutover_matches_batch_and_incremental).
+    tests/test_operators.py::test_cutover_matches_batch_and_incremental).
 
     State writes match the delta leg in SHAPE: sigs/normed/verdicts
     append their deltas; pair_cnt is written as a fresh FULL recount
