@@ -35,7 +35,7 @@ while :; do
     echo "$(date -u +%FT%TZ) watcher: window never opened in ${MAX_S}s, giving up" >> "$LOG"
     exit 1
   fi
-  if pgrep -f "pytest|incremental_bench|scaling_bench|bench\.py" > /dev/null; then
+  if pgrep -f "pytest|incremental_bench|scaling_bench|cutover_crossover|bench\.py" > /dev/null; then
     echo "$(date -u +%FT%TZ) watcher: CPUs busy with tests/bench, waiting" >> "$LOG"
     sleep 120
     continue
