@@ -658,6 +658,55 @@ def test_windowed_state_verify_matches_batch(spark, tmp_path):
     assert inc == bat
 
 
+def test_incremental_mixed_mode_sequence_matches_batch(spark, tmp_path):
+    """Sequence closure across all three ingest modes: initial ->
+    delta -> delta (auto-compaction fires, compact_every=2) ->
+    CUTOVER landing on the compacted delta chain -> delta over the
+    cutover-written full pair_cnt recount. After EVERY snapshot the
+    catalog clusters must equal run_pipeline over the union so far —
+    the single-transition tests pin each edge; this pins the chain
+    (a cutover mid-chain replaces the pair_cnt delta chain with a
+    full recount, and later deltas must compose with that)."""
+    from fixtures.gen import gen_corpus
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+    from ufuzzy_spark.pipeline import run_pipeline
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    pages, _ = gen_corpus(300, seed=31, label_pairs=False)
+    # en-only slices so the post-lang-filter fractions (the cutover
+    # decision input) are exact and the mode sequence is deterministic
+    en = [p for p in pages if p["lang"] == "en"]
+    assert len(en) >= 260
+    sizes = [100, 25, 20, 85, 30]  # fracs: -, .20, .138, .37, .115
+    cuts = [sum(sizes[: i + 1]) for i in range(len(sizes))]
+    snaps = [en[(cuts[i - 1] if i else 0): c] for i, c in enumerate(cuts)]
+    expected_modes = [
+        "initial", "delta", "delta", "batch_recompute", "delta",
+    ]
+
+    cat = LocalParquetCatalog(tmp_path / "mixed")
+    seen: list = []
+    for snap, want_mode in zip(snaps, expected_modes):
+        seen.extend(snap)
+        stats: dict = {}
+        got = incremental_dedup(
+            spark, cat, spark.createDataFrame(snap),
+            stats_out=stats, compact_every=2,
+        )
+        assert stats["mode"] == want_mode, (stats["mode"], want_mode)
+        inc = {(r.url, r.cluster_id, r.is_canonical) for r in got.collect()}
+        bres = run_pipeline(spark, spark.createDataFrame(seen))
+        bat = {
+            (r.url, r.cluster_id, r.is_canonical)
+            for r in bres.clusters.collect()
+        }
+        bres.unpersist()
+        assert inc == bat, f"diverged after {want_mode} snapshot"
+    # the chain stayed bounded through the mode changes
+    assert cat.deltas_since_full("pair_cnt") <= 2
+    assert cat.deltas_since_full("sigs") <= 2
+
+
 def test_pair_features_counters_match_oracle(spark):
     """pair_features must emit exactly what oracle.info computes for
     the same needle/haystack (exercises the Arrow plumbing)."""
