@@ -370,8 +370,15 @@ def incremental_dedup(
     near-total; VERDICT r4). ``None`` disables the cutover (always
     delta). Both legs write the same state shapes and bit-equal
     clusters. Default 1/3 sits inside the measured crossover band
-    (BENCH/BASELINE.md round-5 "cutover crossover" table: the delta
-    leg wins clearly at <=20% snapshots, loses clearly at >=50%).
+    (BENCH/BASELINE.md round-5 "cutover crossover" tables): at 1M
+    docs the delta leg wins at <=20% snapshots and loses at >=50%;
+    at 300k docs it loses at EVERY fraction, because its fixed
+    bookkeeping cost (~100 s of fenced stages on the bench host) only
+    amortizes when the displaced batch recompute is expensive. The
+    cutover still keys on fraction, not corpus size: the fraction
+    rule is the one that binds in the scale direction, and where it
+    mispredicts (small corpora) the absolute cost of either leg is
+    small.
 
     Contract: urls are unique ACROSS snapshots (they are the identity
     every state table and CC node keys on); a snapshot re-ingesting a
