@@ -1889,6 +1889,109 @@ def q_embedding_stats(spark, sf_dir):
     )
 
 
+# embedding-cosine near-dup dedup: the embedding-space twin of the
+# text dedup pipeline (LSH buckets -> verify -> connected comps).
+# Same md5-parity SRP planes as ann_srp_topk so DuckDB replays
+# candidate generation bit-for-bit; tau picked so the uniform-random
+# testdata vectors (CLAUDE.md: no cluster structure) still yield a
+# nontrivial edge set (74 edges @ sf0.01, 1069 @ sf0.1).
+_NEARDUP_TAU = 0.3
+
+_EMB_NEARDUP_SQL = f"""
+    WITH RECURSIVE sigs AS (
+        SELECT vec_id, embedding, {_SRP_BUCKETS_SQL} AS buckets
+        FROM embeddings
+    ),
+    ab AS (SELECT vec_id, t.bkt FROM sigs, unnest(buckets) AS t(bkt)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+        FROM ab a JOIN ab b USING (bkt) WHERE a.vec_id < b.vec_id
+    ),
+    edges AS (
+        SELECT ia, ib FROM cand
+        JOIN embeddings x ON x.vec_id = ia
+        JOIN embeddings y ON y.vec_id = ib
+        WHERE round(
+            list_sum(list_transform(range(1, 65),
+                i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(x.embedding,
+                   v -> v::DOUBLE * v::DOUBLE)))
+               * sqrt(list_sum(list_transform(y.embedding,
+                   v -> v::DOUBLE * v::DOUBLE)))), 6) >= {_NEARDUP_TAU}
+    ),
+    sym AS (
+        SELECT ia AS a, ib AS b FROM edges
+        UNION SELECT ib, ia FROM edges
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT e.vec_id,
+           least(e.vec_id, COALESCE(min(r.b), e.vec_id)) AS cluster_id
+    FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+    GROUP BY e.vec_id
+"""
+
+
+@register("embedding_near_dup", _EMB_NEARDUP_SQL)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (SURVEY §2 LLM-pipeline
+    component; brief's fifth dedup mode): SRP-LSH buckets — a bucketed
+    equi-join, never a corpus cross-join — then exact cosine >= tau
+    verification on candidates only, then connected components with
+    singletons kept (cluster_id = min vec_id, the dup_clusters
+    convention). Bucket recall on CLUSTERED vectors is pinned by the
+    ann tests in tests/test_operators.py; here the oracle replays the
+    identical md5-parity bucket generation, so engine PARITY (not
+    recall on structureless uniform-random testdata) is the contract.
+    At 100 TB every stage is an equi-join or groupBy on bucket/pair
+    keys; the all-pairs cosine exists only inside a bucket."""
+    from ufuzzy_spark.operators.components import connected_components
+
+    e = _embs(spark, sf_dir)
+    buckets = _srp_buckets_df(spark, e)
+    cand = (
+        buckets.select(F.col("vec_id").alias("ia"), "bkt")
+        .join(buckets.select(F.col("vec_id").alias("ib"), "bkt"), "bkt")
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    xe = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("xe"))
+    ye = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("ye"))
+    edges = (
+        cand.join(xe, "ia")
+        .join(ye, "ib")
+        .where(
+            F.round(
+                dot(F.col("xe"), F.col("ye"))
+                / (
+                    F.sqrt(dot(F.col("xe"), F.col("xe")))
+                    * F.sqrt(dot(F.col("ye"), F.col("ye")))
+                ),
+                6,
+            )
+            >= _NEARDUP_TAU
+        )
+        .select("ia", "ib")
+    )
+    cc = connected_components(
+        edges.select(F.col("ia").alias("url_a"), F.col("ib").alias("url_b")),
+        all_nodes=e.select(F.col("vec_id").alias("url")),
+    )
+    return cc.select(F.col("url").alias("vec_id"), "cluster_id")
+
+
 # ---------------------------------------------------------------- #
 # 17. multimodal image decode (SURVEY §2 LLM-pipeline components)
 # ---------------------------------------------------------------- #
