@@ -964,15 +964,19 @@ def q_suffix_array_pairs(spark, sf_dir):
 # ---------------------------------------------------------------- #
 
 _CLUSTERS_SQL = f"""
-    WITH RECURSIVE jac AS ({_JACCARD_SQL}),
-    edges AS (
+    WITH RECURSIVE jac AS MATERIALIZED ({_JACCARD_SQL}),
+    edges AS MATERIALIZED (
         SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7
         UNION
         SELECT a.doc_id, b.doc_id
         FROM documents a JOIN documents b
           ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
     ),
-    sym AS (
+    -- MATERIALIZED: DuckDB 1.0 otherwise INLINES these CTEs into the
+    -- recursive term, re-running the whole LSH/Jaccard pipeline once
+    -- per closure iteration (measured 95 s -> 2 s on the embedding
+    -- twin of this query at sf0.1)
+    sym AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM edges
         UNION SELECT id_b, id_a FROM edges
     ),
@@ -1898,16 +1902,19 @@ def q_embedding_stats(spark, sf_dir):
 _NEARDUP_TAU = 0.3
 
 _EMB_NEARDUP_SQL = f"""
-    WITH RECURSIVE sigs AS (
+    WITH RECURSIVE sigs AS MATERIALIZED (
         SELECT vec_id, embedding, {_SRP_BUCKETS_SQL} AS buckets
         FROM embeddings
     ),
+    -- MATERIALIZED: DuckDB 1.0 inlines CTEs, so without it every
+    -- closure iteration re-runs the full SRP+cosine pipeline
+    -- (measured 95 s -> 2.2 s at sf0.1)
     ab AS (SELECT vec_id, t.bkt FROM sigs, unnest(buckets) AS t(bkt)),
     cand AS (
         SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
         FROM ab a JOIN ab b USING (bkt) WHERE a.vec_id < b.vec_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ia, ib FROM cand
         JOIN embeddings x ON x.vec_id = ia
         JOIN embeddings y ON y.vec_id = ib
@@ -1919,7 +1926,7 @@ _EMB_NEARDUP_SQL = f"""
                * sqrt(list_sum(list_transform(y.embedding,
                    v -> v::DOUBLE * v::DOUBLE)))), 6) >= {_NEARDUP_TAU}
     ),
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT ia AS a, ib AS b FROM edges
         UNION SELECT ib, ia FROM edges
     ),

@@ -15,8 +15,10 @@ treats the label table itself as a second edge set — label(v) is
 always the url of a node in v's component (min over a reachable
 subset), so label(label(v)) stays in-component and chain distance
 halves per round: O(log diameter) rounds total, the same device
-GraphX/GraphFrames CC uses. Each round ``localCheckpoint``s to
-truncate lineage (the plan would otherwise double every iteration).
+GraphX/GraphFrames CC uses. Each round fences through ``_fence`` —
+lineage truncation like ``localCheckpoint``, but also dropping the
+preserved origin statistics whose BigInteger bit-length otherwise
+doubles per self-join round (see ``_fence``).
 Labels are the cluster's minimum url — deterministic and
 shuffle-stable, matching the fixture convention (FIXTURES.md F4:
 cluster_id = min url in cluster).
@@ -26,6 +28,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fence(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage + DROP Catalyst origin stats.
+
+    ``Dataset.localCheckpoint`` truncates the plan but PRESERVES the
+    source plan's estimated statistics (``LogicalRDD.originStats``).
+    In an iterative self-join loop, estimated ``sizeInBytes`` is the
+    PRODUCT of both join branches, so the preserved BigInteger's
+    bit-length DOUBLES every round: measured on a 2k-node graph, rounds
+    0-13 ran ~1 s each, then 2 -> 5 -> 13 -> 28 -> 80 -> 220 s with a
+    constant logical plan, constant RDD lineage, and a constant 4 jobs
+    per round; jstack pinned the wall at 100% CPU inside
+    ``BigInteger.multiplyToomCook3`` under ``IterableOnceOps.product``
+    (Catalyst size-only stats estimation multiplying megabyte-sized
+    integers). Rebuilding the frame from its JVM row RDD resets stats
+    to the leaf default — constant bit-length per round — while still
+    truncating lineage; the RDD[Row] -> ``createDataFrame`` round-trip
+    stays entirely JVM-side (no Python serialization).
+    """
+    spark = df.sparkSession
+    jrdd = df._jdf.rdd()
+    jrdd.localCheckpoint()
+    jrdd.count()
+    return DataFrame(
+        spark._jsparkSession.createDataFrame(jrdd, df._jdf.schema()), spark
+    )
 
 
 def connected_components(
@@ -40,19 +69,17 @@ def connected_components(
     """
     # undirected adjacency, both directions — materialized once so the
     # iteration never recomputes the (expensive) upstream edge plan
-    sym = (
+    sym = _fence(
         edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         .unionByName(
             edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
 
-    labels = (
+    labels = _fence(
         sym.select(F.col("src").alias("url"))
         .distinct()
         .withColumn("label", F.col("url"))
-        .localCheckpoint(eager=True)
     )
 
     converged = False
@@ -74,7 +101,7 @@ def connected_components(
         # node has a labels row, so the lookup is a left join of the
         # hopped table against itself keyed on label = url (null only
         # transiently impossible; coalesce keeps it total regardless)
-        new_labels = (
+        new_labels = _fence(
             hopped.join(
                 hopped.select(
                     F.col("url").alias("label"),
@@ -82,15 +109,13 @@ def connected_components(
                 ),
                 "label",
                 "left",
-            )
-            .select(
+            ).select(
                 "url",
                 F.least(
                     F.col("label"),
                     F.coalesce("jump_label", F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         old_labels = labels
         labels = new_labels
