@@ -1,62 +1,158 @@
 """Structured Streaming integration: incremental dedup as the
-foreachBatch body of a file-stream query.
+foreachBatch body of a file-stream query (streaming/stream.py).
 
 Dedup's global-clustering nature makes watermarked streaming state a
 poor fit (SURVEY.md §2.2), so the streaming story is micro-batch:
 each arriving snapshot runs ``incremental_dedup`` against catalog
-state. This test drives a real ``readStream`` -> ``foreachBatch``
-query over two parquet drops and checks the final clusters equal a
-single batch run.
+state. These tests drive a real ``readStream`` -> ``foreachBatch``
+query over parquet drops through the library API, check the final
+clusters equal a single batch run, and pin the recovery contract:
+a replayed epoch is an exactly-once no-op (catalog ingest journal)
+and torn state is refused loudly, never built upon.
 """
+
+import json
 
 import pytest
 
 
-def test_foreach_batch_incremental_equals_batch(spark, tmp_path):
+def _clusters(df):
+    return {(r.url, r.cluster_id) for r in df.select("url", "cluster_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def stream_run(spark, tmp_path_factory):
+    """One end-to-end dedup_stream run shared by the assertions below:
+    400 pages in two parquet drops, one micro-batch each."""
     from fixtures.gen import gen_corpus
     from ufuzzy_spark.catalog import LocalParquetCatalog
     from ufuzzy_spark.pipeline import run_pipeline
-    from ufuzzy_spark.streaming.incremental import incremental_dedup
+    from ufuzzy_spark.streaming.stream import dedup_stream
 
+    tmp_path = tmp_path_factory.mktemp("ufz_stream")
     pages, _ = gen_corpus(400, seed=9, label_pairs=False)
     full = spark.createDataFrame(pages)
-    batch = {
-        (r.url, r.cluster_id)
-        for r in run_pipeline(spark, full)
-        .clusters.select("url", "cluster_id")
-        .collect()
-    }
+    batch = _clusters(run_pipeline(spark, full).clusters)
 
-    # two parquet drops into a streamed directory
     half = len(pages) // 2
     in_dir = tmp_path / "stream_in"
-    spark.createDataFrame(pages[:half]).coalesce(1).write.mode(
-        "append"
-    ).parquet(str(in_dir))
-    spark.createDataFrame(pages[half:]).coalesce(1).write.mode(
-        "append"
-    ).parquet(str(in_dir))
+    spark.createDataFrame(pages[:half]).coalesce(1).write.mode("append").parquet(
+        str(in_dir)
+    )
+    spark.createDataFrame(pages[half:]).coalesce(1).write.mode("append").parquet(
+        str(in_dir)
+    )
 
     cat = LocalParquetCatalog(tmp_path / "cat")
-    stream = (
-        spark.readStream.schema(full.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(in_dir))
-    )
-
-    def body(df, epoch_id):
-        incremental_dedup(spark, cat, df)
-
-    q = (
-        stream.writeStream.foreachBatch(body)
-        .option("checkpointLocation", str(tmp_path / "stream_ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    q = dedup_stream(
+        spark,
+        str(in_dir),
+        cat,
+        full.schema,
+        str(tmp_path / "stream_ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
     )
     q.awaitTermination(300)
+    return cat, batch, spark.createDataFrame(pages[half:])
 
-    inc = {
-        (r.url, r.cluster_id)
-        for r in cat.read(spark, "clusters").collect()
-    }
-    assert inc == batch
+
+def test_stream_equals_batch(spark, stream_run):
+    cat, batch, _ = stream_run
+    assert _clusters(cat.read(spark, "clusters")) == batch
+
+
+def test_epoch_replay_is_exactly_once(spark, stream_run):
+    """Spark's foreachBatch recovery replays the last epoch with the
+    same id and data; the ingest journal must absorb it as a no-op
+    (same snapshot ids, same clusters — state not doubled)."""
+    from ufuzzy_spark.streaming.stream import dedup_epoch_sink
+
+    cat, batch, second_half = stream_run
+    before = {t: cat.snapshots(t) for t in ("sigs", "normed", "pair_cnt", "clusters")}
+    # two drops at maxFilesPerTrigger=1 -> epochs 0 and 1; replay #1
+    dedup_epoch_sink(spark, cat)(second_half, 1)
+    after = {t: cat.snapshots(t) for t in before}
+    assert after == before
+    assert _clusters(cat.read(spark, "clusters")) == batch
+
+
+def test_torn_state_is_refused(spark, stream_run):
+    """An ingest that died between its first and last state write
+    leaves a begun-but-not-committed journal marker; the next ingest
+    must refuse rather than silently double refcount deltas."""
+    from ufuzzy_spark.streaming.incremental import incremental_dedup
+
+    cat, _, second_half = stream_run
+    cat.journal_begin("epoch-crashed", {"leg": "delta"})
+    try:
+        with pytest.raises(ValueError, match="torn state"):
+            incremental_dedup(
+                spark,
+                cat,
+                second_half.withColumn(
+                    "url", second_half.url.substr(1, 100)  # never reached
+                ),
+            )
+    finally:
+        # leave the shared catalog usable for later-ordered tests
+        cat.journal_commit("epoch-crashed")
+
+
+def test_journal_status_roundtrip(tmp_path):
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "cat")
+    assert cat.journal_status("e1") is None
+    assert cat.torn_ingests() == []
+    cat.journal_begin("e1", {"n_new": 7})
+    assert cat.journal_status("e1") == "begun"
+    assert cat.torn_ingests() == ["e1"]
+    cat.journal_commit("e1")
+    assert cat.journal_status("e1") == "committed"
+    assert cat.torn_ingests() == []
+    # ids are arbitrary strings (hashed for the filename)
+    cat.journal_begin("weird/../id with spaces")
+    assert cat.torn_ingests() == ["weird/../id with spaces"]
+
+
+def test_catalog_write_is_crash_atomic(spark, tmp_path):
+    """A writer dying mid-write leaves only a staging dir that every
+    read path ignores; a lagging _LATEST marker (death between rename
+    and marker) never reuses a committed snapshot id."""
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "cat")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    cat.write(df, "t")
+    cat.append(df.where("id < 2"), "t")
+    tdir = tmp_path / "cat" / "t"
+
+    # no staging residue after successful writes
+    assert not list(tdir.glob("_tmp-*"))
+
+    # simulate a crashed writer: staging dir with data but no rename
+    crashed = tdir / "_tmp-snapshot-00000099"
+    crashed.mkdir()
+    (crashed / "part-junk.parquet").write_bytes(b"not parquet")
+    assert cat.snapshots("t") == [1, 2]
+    assert cat.read_all(spark, "t").count() == 7
+
+    # _LATEST lagging by one (death between rename and marker update):
+    # the next write must still pick a FRESH id, not collide with the
+    # committed-but-unmarked snapshot
+    (tdir / "_LATEST").write_text("1")
+    assert cat.latest_snapshot("t") == 2
+    snap = cat.append(df.where("id >= 4"), "t")
+    assert snap == 3
+    assert cat.read_all(spark, "t").count() == 8
+
+    # a crashed BUCKETED write leaves no committed snapshot either
+    # (the session-catalog registration is dropped post-rename, so
+    # reads re-register from _META.json at the final path)
+    snap = cat.write(df, "tb", bucket_by=(["id"], 4))
+    meta = json.loads(
+        (tmp_path / "cat" / "tb" / f"snapshot-{snap:08d}" / "_META.json").read_text()
+    )
+    assert meta["bucket_by"] == ["id"]
+    assert cat.read(spark, "tb").count() == 5

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import shutil
 import time
 from pathlib import Path
 
@@ -53,11 +55,19 @@ class LocalParquetCatalog:
         )
 
     def latest_snapshot(self, table: str) -> int | None:
+        """Highest committed snapshot. The directory RENAME in
+        ``write`` is the commit point; ``_LATEST`` is a cache that may
+        lag by one if a writer died between rename and marker update,
+        so take the max of both (a lagging marker must never make the
+        next write reuse a committed snapshot id)."""
+        vals = []
         marker = self._tdir(table) / "_LATEST"
         if marker.exists():
-            return int(marker.read_text().strip())
+            vals.append(int(marker.read_text().strip()))
         snaps = self.snapshots(table)
-        return snaps[-1] if snaps else None
+        if snaps:
+            vals.append(snaps[-1])
+        return max(vals) if vals else None
 
     def _snap_path(self, table: str, snap: int) -> Path:
         return self._tdir(table) / f"snapshot-{snap:08d}"
@@ -87,9 +97,25 @@ class LocalParquetCatalog:
         in the session catalog, so bucketed snapshots are (re-)
         registered on read — ``_META.json`` carries the spec across
         sessions. Only FULL snapshots are worth bucketing (delta
-        chains union away the property until compaction)."""
+        chains union away the property until compaction).
+
+        Writes are CRASH-ATOMIC: files land in a ``_tmp-snapshot-*``
+        staging dir (invisible to every read path — ``snapshots``
+        matches only ``snapshot-`` names) and a single directory
+        rename commits the snapshot once data AND ``_META.json`` are
+        complete. A writer dying mid-write leaves only staging
+        garbage, never a half-readable snapshot — the same
+        stage-then-atomically-commit protocol Iceberg/Delta use
+        (metadata-file swap), here expressed as a POSIX rename. On
+        object stores the rename becomes the catalog backend's commit
+        primitive. Single writer per catalog assumed (as everywhere
+        in this module); stale staging dirs from a crashed writer are
+        reclaimed on the next write."""
         snap = (self.latest_snapshot(table) or 0) + 1
         path = self._snap_path(table, snap)
+        staging = self._tdir(table) / f"_tmp-snapshot-{snap:08d}"
+        if staging.exists():
+            shutil.rmtree(staging)  # crashed predecessor's leftovers
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are exclusive")
         if bucket_by:
@@ -101,15 +127,19 @@ class LocalParquetCatalog:
                 df.write.format("parquet")
                 .bucketBy(n_buckets, *cols)
                 .sortBy(*cols)
-                .option("path", str(path))
+                .option("path", str(staging))
                 .mode("overwrite")
                 .saveAsTable(name)
             )
+            # registration points at the staging path; drop it and let
+            # _read_snap re-register from _META.json at the final path
+            # (external table: DROP removes metadata only, not files)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
         else:
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
-            w.parquet(str(path))
+            w.parquet(str(staging))
         meta = {
             "snapshot": snap,
             "ts": time.time(),
@@ -119,7 +149,8 @@ class LocalParquetCatalog:
             "bucket_by": list(bucket_by[0]) if bucket_by else None,
             "n_buckets": bucket_by[1] if bucket_by else None,
         }
-        (path / "_META.json").write_text(json.dumps(meta))
+        (staging / "_META.json").write_text(json.dumps(meta))
+        os.rename(staging, path)  # the commit point
         (self._tdir(table) / "_LATEST").write_text(str(snap))
         return snap
 
@@ -252,3 +283,68 @@ class LocalParquetCatalog:
 
     def exists(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None
+
+    # -- ingest journal --------------------------------------------- #
+    #
+    # Single snapshots are crash-atomic (the rename in `write`), but
+    # one INGEST commits several tables (sigs/normed/verdicts/
+    # pair_cnt/clusters) and those renames cannot be made jointly
+    # atomic on a filesystem. The journal makes the multi-table unit
+    # detectable instead: `journal_begin` before the first table
+    # mutation, `journal_commit` after the last. An id that is begun
+    # but never committed marks TORN state (some tables hold the
+    # ingest, others do not) — readers must refuse rather than build
+    # on it. A COMMITTED id makes re-application detectable, which is
+    # what gives Structured Streaming's replay-last-epoch recovery
+    # exactly-once semantics (streaming/stream.py): the replayed
+    # foreachBatch sees its epoch already committed and no-ops.
+    # Marker files are tiny driver-side JSON, like _META.json — on an
+    # object store they are single-object PUTs (atomic there too).
+
+    def _journal_path(self, ingest_id: str) -> Path:
+        # hash the id for the filename (ids are caller-chosen strings,
+        # not necessarily path-safe); the real id lives in the JSON
+        digest = hashlib.md5(ingest_id.encode()).hexdigest()
+        return self.root / "_ingests" / f"{digest}.json"
+
+    def journal_begin(self, ingest_id: str, payload: dict | None = None):
+        p = self._journal_path(ingest_id)
+        p.parent.mkdir(exist_ok=True)
+        rec = {
+            "ingest_id": ingest_id,
+            "status": "begun",
+            "ts": time.time(),
+            **(payload or {}),
+        }
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps(rec))
+        os.replace(tmp, p)
+
+    def journal_commit(self, ingest_id: str):
+        p = self._journal_path(ingest_id)
+        rec = json.loads(p.read_text())
+        rec["status"] = "committed"
+        rec["committed_ts"] = time.time()
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps(rec))
+        os.replace(tmp, p)
+
+    def journal_status(self, ingest_id: str) -> str | None:
+        """None (never begun) | 'begun' | 'committed'."""
+        p = self._journal_path(ingest_id)
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())["status"]
+
+    def torn_ingests(self) -> list[str]:
+        """Ingest ids begun but never committed — each marks state
+        where some tables hold the ingest's rows and others may not."""
+        d = self.root / "_ingests"
+        if not d.exists():
+            return []
+        out = []
+        for p in sorted(d.glob("*.json")):
+            rec = json.loads(p.read_text())
+            if rec["status"] == "begun":
+                out.append(rec["ingest_id"])
+        return out

@@ -189,6 +189,7 @@ def _batch_recompute(
     all_keys: DataFrame,
     compact_every: int,
     state_buckets: int = 0,
+    ingest_id: str | None = None,
 ) -> DataFrame:
     """Batch-over-state leg of the adaptive cutover (VERDICT r4 #3).
 
@@ -318,6 +319,8 @@ def _batch_recompute(
     # FIRST ingest (no prior chain) writes FULL snapshots so the
     # state_buckets layout applies from snapshot 1, not first
     # compaction; cutover ingests append deltas onto the chain.
+    if ingest_id is not None:
+        catalog.journal_begin(ingest_id, {"leg": "batch"})
     if catalog.exists("sigs"):
         catalog.append(new_sigs, "sigs")
         catalog.append(new_slim, "normed")
@@ -337,6 +340,12 @@ def _batch_recompute(
         "pair_cnt",
     )
     catalog.write(clusters, "clusters")
+    if ingest_id is not None:
+        # commit BEFORE compaction: compaction is a pure re-layout
+        # whose own writes are individually crash-atomic (a died
+        # compaction leaves only an invisible staging dir), so it
+        # belongs outside the multi-table transaction
+        catalog.journal_commit(ingest_id)
     if compact_every:
         for table in ("sigs", "normed", "verdicts"):
             catalog.maybe_compact(
@@ -357,6 +366,7 @@ def incremental_dedup(
     compact_every: int = 16,
     batch_cutover_frac: float | None = 1 / 3,
     state_buckets: int = 0,
+    ingest_id: str | None = None,
 ) -> DataFrame:
     """Process a new snapshot against persisted state; returns the
     updated full clusters table (also written as a new snapshot),
@@ -386,6 +396,20 @@ def incremental_dedup(
     earlier state layouts (round 2 bands/edges; round 3 without
     pair_cnt) raise too, as does a config_hash mismatch
     (_check_config_guard).
+
+    ``ingest_id``: optional caller-chosen idempotency key. Every
+    ingest journals a begun marker before its first state write and a
+    committed marker after its last (catalog ingest journal) — a
+    process dying between the two leaves the journal saying so, and
+    the NEXT ingest refuses loudly instead of building on torn state
+    (the cross-table completion of the single-table rename atomicity
+    in ``LocalParquetCatalog.write``). When ``ingest_id`` is given
+    and already committed, the call is an idempotent no-op returning
+    current clusters — this is what makes Structured Streaming's
+    replay-last-epoch recovery exactly-once (streaming/stream.py
+    passes the epoch id). Without ``ingest_id`` an opaque unique id
+    is journaled (torn detection still applies; replay skip needs the
+    caller-stable key).
 
     State tables: ``normed`` (url, content_hash, norm_text window,
     n_chars, warc_ts), ``sigs`` (content_hash -> band hashes),
@@ -421,6 +445,27 @@ def incremental_dedup(
     """
     pcfg = pcfg or PipelineConfig()
     _check_config_guard(catalog, pcfg)
+
+    # --- ingest journal: torn-state refusal + idempotent replay ----- #
+    torn = catalog.torn_ingests()
+    if torn:
+        raise ValueError(
+            f"incremental_dedup: catalog holds torn state from "
+            f"{len(torn)} unfinished ingest(s) {torn[:3]} — a previous "
+            "ingest died between its first and last state write, so "
+            "some tables hold its rows and others do not; restore the "
+            "catalog from before that ingest (or rebuild by "
+            "re-ingesting snapshots into a fresh catalog)"
+        )
+    if ingest_id is not None and catalog.journal_status(ingest_id) == "committed":
+        if stats_out is not None:
+            stats_out["mode"] = "replay_skip"
+        return catalog.read(spark, "clusters")
+    if ingest_id is None:
+        import uuid
+
+        ingest_id = f"ingest-{uuid.uuid4().hex}"
+
     win = 2 * pcfg.verify_window_chars
 
     # lineage fences: small/derived frames consumed by several actions
@@ -605,7 +650,7 @@ def incremental_dedup(
                 spark, catalog, pcfg, fence, stats_out,
                 old_sigs, old_verdicts, old_normed,
                 new_normed, new_sigs, new_slim, all_keys, compact_every,
-                state_buckets,
+                state_buckets, ingest_id=ingest_id,
             )
             if stats_out is not None and not has_state:
                 stats_out["mode"] = "initial"
@@ -1284,7 +1329,11 @@ def incremental_dedup(
     # stage (verify, CC, election) has completed — `changed` included,
     # so a re-run after a mid-ingest failure starts from clean state
     # (the duplicate-url guard then correctly rejects or accepts the
-    # whole snapshot; refcounts can never be half-applied)
+    # whole snapshot; refcounts can never be half-applied). A death
+    # INSIDE this block is the one window the compute-then-persist
+    # ordering cannot cover — the journal marker brackets it, turning
+    # would-be silent corruption into a loud torn-state refusal.
+    catalog.journal_begin(ingest_id, {"leg": "delta"})
     if has_state:
         catalog.append(new_sigs, "sigs")
         catalog.append(new_slim, "normed")
@@ -1302,6 +1351,9 @@ def incremental_dedup(
         )
         catalog.write(changed, "pair_cnt")
     catalog.write(clusters, "clusters")
+    # commit before compaction — compaction's writes are individually
+    # crash-atomic re-layouts outside the multi-table transaction
+    catalog.journal_commit(ingest_id)
 
     # bound the delta chains (read_all unions every delta since the
     # last full snapshot; unbounded chains grow listing + scan cost).
