@@ -1282,3 +1282,41 @@ def test_connected_components_long_chain(spark):
     want |= {(f"w{i:03d}", "w000") for i in range(31)}
     want.add(("zzz_isolated", "zzz_isolated"))
     assert got == want
+
+
+def test_connected_components_deep_iteration_stays_linear(spark):
+    """Regression pin for the localCheckpoint origin-stats blowup:
+    checkpointed self-join loops DOUBLE the preserved sizeInBytes
+    BigInteger's bit-length per round, which turned rounds 14-19 into
+    2 -> 220 s of pure BigInteger.multiplyToomCook3 under Catalyst
+    stats estimation (components.py _fence docstring). A 300k-node
+    path needs ~log2(300k) ~= 18-19 jump rounds — enough to cross
+    three _STATS_RESET_EVERY fences and reach the formerly-explosive
+    regime. Healthy wall is ~linear in rounds (< 2 min here); a
+    regression re-introduces minutes-per-round growth and trips the
+    bound long before max_iter."""
+    import time
+
+    from ufuzzy_spark.operators.components import connected_components
+
+    n = 300_000
+    ids = F.format_string("p%07d", F.col("id"))
+    edges = (
+        spark.range(n - 1)
+        .select(
+            ids.alias("url_a"),
+            F.format_string("p%07d", F.col("id") + 1).alias("url_b"),
+        )
+    )
+    t0 = time.time()
+    out = connected_components(edges, max_iter=30)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.min("cluster_id").alias("min_label"),
+        F.max("cluster_id").alias("max_label"),
+    ).first()
+    wall = time.time() - t0
+    assert (agg["n"], agg["n_clusters"]) == (n, 1)
+    assert agg["min_label"] == agg["max_label"] == "p0000000"
+    assert wall < 180, f"deep CC took {wall:.0f}s — stats blowup is back?"

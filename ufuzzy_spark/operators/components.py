@@ -15,10 +15,11 @@ treats the label table itself as a second edge set — label(v) is
 always the url of a node in v's component (min over a reachable
 subset), so label(label(v)) stays in-component and chain distance
 halves per round: O(log diameter) rounds total, the same device
-GraphX/GraphFrames CC uses. Each round fences through ``_fence`` —
-lineage truncation like ``localCheckpoint``, but also dropping the
-preserved origin statistics whose BigInteger bit-length otherwise
-doubles per self-join round (see ``_fence``).
+GraphX/GraphFrames CC uses. Each round fences through
+``localCheckpoint`` (lineage truncation), with a periodic ``_fence``
+reset every ``_STATS_RESET_EVERY`` rounds to also drop the preserved
+origin statistics whose BigInteger bit-length otherwise doubles per
+self-join round (see ``_fence`` for the growth arithmetic).
 Labels are the cluster's minimum url — deterministic and
 shuffle-stable, matching the fixture convention (FIXTURES.md F4:
 cluster_id = min url in cluster).
@@ -28,6 +29,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# RDD-rebuild cadence for the stats reset. Preserved stats bits grow
+# ~2x per self-join round from a small base (tens of bits), so after k
+# rounds a multiply costs O((b0 * 2^k)^~1.6) — measured harmless
+# through k ~= 12 (sub-ms) and catastrophic by k ~= 17 (seconds/round,
+# see _fence). Resetting every 6 rounds caps bits at ~64x base while
+# paying the Row round-trip at most twice for any realistic diameter
+# (pointer jumping needs log2(diameter) rounds: 6 covers diameter 64,
+# 12 covers 4096).
+_STATS_RESET_EVERY = 6
 
 
 def _fence(df: DataFrame) -> DataFrame:
@@ -46,7 +57,12 @@ def _fence(df: DataFrame) -> DataFrame:
     integers). Rebuilding the frame from its JVM row RDD resets stats
     to the leaf default — constant bit-length per round — while still
     truncating lineage; the RDD[Row] -> ``createDataFrame`` round-trip
-    stays entirely JVM-side (no Python serialization).
+    stays entirely JVM-side (no Python serialization), but it DOES pay
+    an InternalRow <-> Row conversion over every row (~10% on the
+    sf0.1 ingest bench), which is why the loop below uses it only
+    every ``_STATS_RESET_EVERY`` rounds and plain ``localCheckpoint``
+    in between — bit growth is exponential in ROUNDS SINCE RESET, so a
+    periodic reset keeps multiplies trivial at amortized-zero cost.
     """
     spark = df.sparkSession
     jrdd = df._jdf.rdd()
@@ -68,18 +84,25 @@ def connected_components(
     which come back as singleton clusters (cluster_id = own url).
     """
     # undirected adjacency, both directions — materialized once so the
-    # iteration never recomputes the (expensive) upstream edge plan
-    sym = _fence(
+    # iteration never recomputes the (expensive) upstream edge plan.
+    # Plain localCheckpoint for the seeds: their preserved stats are a
+    # CONSTANT base (upstream estimate bits) that only the iterated
+    # self-join doubles — the periodic _fence below caps that growth,
+    # and an RDD rebuild here would pay the Row round-trip over the
+    # full edge set on every CC invocation for nothing
+    sym = (
         edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         .unionByName(
             edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
         )
+        .localCheckpoint(eager=True)
     )
 
-    labels = _fence(
+    labels = (
         sym.select(F.col("src").alias("url"))
         .distinct()
         .withColumn("label", F.col("url"))
+        .localCheckpoint(eager=True)
     )
 
     converged = False
@@ -101,7 +124,12 @@ def connected_components(
         # node has a labels row, so the lookup is a left join of the
         # hopped table against itself keyed on label = url (null only
         # transiently impossible; coalesce keeps it total regardless)
-        new_labels = _fence(
+        round_fence = (
+            _fence
+            if it % _STATS_RESET_EVERY == _STATS_RESET_EVERY - 1
+            else lambda df: df.localCheckpoint(eager=True)
+        )
+        new_labels = round_fence(
             hopped.join(
                 hopped.select(
                     F.col("url").alias("label"),
