@@ -1320,3 +1320,129 @@ def test_connected_components_deep_iteration_stays_linear(spark):
     assert (agg["n"], agg["n_clusters"]) == (n, 1)
     assert agg["min_label"] == agg["max_label"] == "p0000000"
     assert wall < 180, f"deep CC took {wall:.0f}s — stats blowup is back?"
+
+
+# ------------------------------------------------------------------ #
+# training-data hygiene operators (decontaminate / sampling / textstats)
+# ------------------------------------------------------------------ #
+
+
+def test_ngram_overlap_hashed_equals_raw(spark):
+    """The xxhash64-folded scale path must flag the same docs with the
+    same counts as the raw-string path the DuckDB oracle pins."""
+    from ufuzzy_spark.operators.decontaminate import ngram_overlap
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (1, "quick brown fox jumps over the lazy dog tonight again yes"),
+        (2, "completely unrelated content with no shared phrases at all"),
+        (3, "the quick brown fox jumps over the lazy dog tonight ok"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "tokens", F.split("text", " ")
+    )
+    bench = d.where("doc_id = 0")
+    train = d.where("doc_id != 0")
+    raw = {
+        (r.doc_id, r.n_shared_grams)
+        for r in ngram_overlap(train, bench, n=8, hashed=False).collect()
+    }
+    hashed = {
+        (r.doc_id, r.n_shared_grams)
+        for r in ngram_overlap(train, bench, n=8, hashed=True).collect()
+    }
+    assert raw == hashed
+    assert {r[0] for r in raw} == {1, 3}  # doc 2 shares nothing
+    # doc 3 is an exact copy: all 4 of bench doc 0's 8-grams shared
+    assert dict(raw)[3] == 4
+
+
+def test_ngram_overlap_is_broadcast_no_smj(spark):
+    from ufuzzy_spark.operators.decontaminate import ngram_overlap
+    from ufuzzy_spark.plans.explain import formatted_plan
+
+    d = spark.createDataFrame(
+        [(i, f"tok{i} " * 20) for i in range(40)], ["doc_id", "text"]
+    ).withColumn("tokens", F.split(F.trim("text"), " "))
+    plan = formatted_plan(
+        ngram_overlap(d.where("doc_id > 3"), d.where("doc_id <= 3"))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    """rate 1.0 keeps everything, 0.0 nothing, unknown strata fall to
+    default_rate; the sample is a pure row predicate, so re-running
+    and superset-running select the identical keys (append-only
+    mixture refresh)."""
+    from ufuzzy_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 1.0, "de": 0.5}
+    got = stratified_sample(d, rates, "lang", "doc_id")
+    by_lang = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en") == 100          # rate 1.0: all
+    assert "xx" not in by_lang               # default_rate 0: none
+    assert 20 <= by_lang.get("de", 0) <= 80  # rate 0.5 +- md5 noise
+
+    keys = {r.doc_id for r in got.collect()}
+    assert {r.doc_id for r in stratified_sample(d, rates, "lang", "doc_id").collect()} == keys
+    # superset corpus keeps every previously selected row
+    d2 = d.unionByName(
+        spark.createDataFrame(
+            [(i, "en") for i in range(300, 350)], ["doc_id", "lang"]
+        )
+    )
+    keys2 = {r.doc_id for r in stratified_sample(d2, rates, "lang", "doc_id").collect()}
+    assert keys <= keys2
+    # a different salt draws an independent sample
+    salted = {
+        r.doc_id
+        for r in stratified_sample(d, rates, "lang", "doc_id", salt="v2").collect()
+    }
+    assert salted != keys
+
+
+def test_stratified_sample_rejects_bad_rate():
+    from ufuzzy_spark.operators.sampling import threshold
+
+    with pytest.raises(ValueError):
+        threshold(1.5)
+
+
+def test_repetition_metrics_hand_cases(spark):
+    from ufuzzy_spark.operators.textstats import repetition_metrics
+
+    rows = [
+        (0, ["a", "a", "a"]),          # g2: [aa,aa] dup 0.5; g3 single: 0; top 1.0
+        (1, ["a", "b", "c", "d"]),     # no repeats anywhere
+        (2, ["x"]),                    # too short for grams; top 1.0
+        (3, []),                       # empty: all zeros
+        (4, ["p", "q", "p", "q", "p"]),# g2 dup 0.5; g3 [pqp,qpq,pqp] dup 1/3; top 3/5
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        r.doc_id: (r.frac_dup_2grams, r.frac_dup_3grams, r.top_token_frac)
+        for r in repetition_metrics(d).collect()
+    }
+    assert got[0] == (0.5, 0.0, 1.0)
+    assert got[1] == (0.0, 0.0, 0.25)
+    assert got[2] == (0.0, 0.0, 1.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.5, pytest.approx(1 - 2 / 3, abs=1e-6), 0.6)
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    from ufuzzy_spark.operators.textstats import repetition_metrics
+    from ufuzzy_spark.plans.explain import formatted_plan
+
+    d = spark.createDataFrame(
+        [(0, ["a", "b"])], "doc_id long, tokens array<string>"
+    )
+    plan = formatted_plan(repetition_metrics(d))
+    assert "Exchange" not in plan

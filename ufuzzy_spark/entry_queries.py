@@ -1401,6 +1401,119 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- #
+# 10a. training-data hygiene: benchmark decontamination, deterministic
+#      mixture sampling, Gopher repetition metrics (operators/
+#      decontaminate.py, sampling.py, textstats.py)
+# ---------------------------------------------------------------- #
+
+_DECON_N = 8  # token n-gram width (GPT-3 appendix C uses 8-13)
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL.format(norm=NORM_SQL)} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - {_DECON_N - 2}),
+                   i -> array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+               ))) AS gram
+        FROM toks WHERE len(t) >= {_DECON_N}
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+    )
+    SELECT g.doc_id, count(*)::BIGINT AS n_shared_grams
+    FROM grams g JOIN bench USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing a token
+    8-gram with the planted "eval set" (doc_id % 50 == 0 — a stable
+    2% slice standing in for a benchmark suite). The bench gram set
+    is broadcast; the train side's only shuffle is the per-doc count
+    (operators/decontaminate.py)."""
+    from ufuzzy_spark.operators.decontaminate import ngram_overlap
+
+    d = _docs(spark, sf_dir).withColumn("tokens", tokens_expr(norm_col()))
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    # raw-string grams so the DuckDB twin is join-identical; the
+    # hashed=True path (xxhash64-folded broadcast) is pinned against
+    # this one in tests/test_operators.py
+    return ngram_overlap(train, bench, n=_DECON_N, hashed=False)
+
+
+_MIX_RATES = {"en": 0.5, "zh": 0.9, "es": 0.25, "de": 1.0, "fr": 0.05}
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 1000000
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 900000
+                      WHEN 'es' THEN 250000 WHEN 'de' THEN 1000000
+                      WHEN 'fr' THEN 50000 ELSE 0 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mixture sampling: per-language target
+    rates, row kept iff md5(doc_id) folds under the stratum threshold
+    — reproducible across engines (the oracle re-derives the SAME
+    sample in DuckDB, which is the operator's whole point), no
+    shuffle, filter directly over the scan
+    (operators/sampling.py)."""
+    from ufuzzy_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, _MIX_RATES, "lang", "doc_id")
+
+
+@register(
+    "repetition_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL.format(norm=NORM_SQL)} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, t,
+               list_transform(range(1, len(t)),
+                              i -> array_to_string(t[i:i+1], ' ')) AS g2,
+               list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' ')) AS g3
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) - 1 > 0 THEN
+               round(1 - len(list_distinct(g2))::DOUBLE / (len(t) - 1), 6)
+           ELSE 0.0 END AS frac_dup_2grams,
+           CASE WHEN len(t) - 2 > 0 THEN
+               round(1 - len(list_distinct(g3))::DOUBLE / (len(t) - 2), 6)
+           ELSE 0.0 END AS frac_dup_3grams,
+           CASE WHEN len(t) > 0 THEN
+               round(list_max(list_transform(list_distinct(t),
+                   d -> len(list_filter(t, x -> x = d))))::DOUBLE / len(t), 6)
+           ELSE 0.0 END AS top_token_frac
+    FROM g
+    """,
+)
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals (dup 2/3-gram
+    fractions, top-token mass) as one narrow codegen'd projection —
+    no shuffle, no Python (operators/textstats.py)."""
+    from ufuzzy_spark.operators.textstats import repetition_metrics
+
+    d = _docs(spark, sf_dir).withColumn("tokens", tokens_expr(norm_col()))
+    return repetition_metrics(d)
+
+
+# ---------------------------------------------------------------- #
 # 10b. relational plans over the TPC-H tables: broadcast-dim joins,
 #      multi-agg, distributed top-k (VERDICT r1 #7). Money is summed
 #      in integer cents (per-row round, then BIGINT sum) so the

@@ -69,6 +69,7 @@ def stratified_sample(
     return df.where(
         u
         < F.coalesce(
-            thr.getItem(F.col(stratum_col)), F.lit(threshold(default_rate))
+            F.element_at(thr, F.col(stratum_col)),
+            F.lit(threshold(default_rate)),
         )
     )
