@@ -71,6 +71,57 @@ def test_ann_lsh_topk_smoke_on_testdata(spark):
     assert all(1 <= r.rnk <= 5 for r in rows)
 
 
+def test_ann_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF-flat (spherical k-means lists + nprobe probing + exact
+    re-rank) must recover the brute-force top-5 on clustered vectors.
+    Also pins determinism: the md5-seeded sample and argmax-tie rules
+    make train + search reproducible run-to-run."""
+    import numpy as np
+
+    from ufuzzy_spark.operators.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(20, 64) * 3
+    vecs = [
+        (i, (centers[i % 20] + rng.randn(64) * 0.4).astype(float).tolist())
+        for i in range(500)
+    ]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = embs.where("vec_id < 5")
+    bf = {(r.qid, r.cid) for r in brute_force_topk(embs, q, k=5).collect()}
+
+    def run():
+        return {
+            (r.qid, r.cid)
+            for r in ivf_topk(
+                embs, q, k=5, n_centroids=20, nprobe=3, n_iters=5
+            ).collect()
+        }
+
+    got = run()
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.9, f"IVF recall {recall} too low"
+    assert run() == got, "ivf_topk is not deterministic"
+
+
+def test_ann_ivf_centroids_shape_and_reuse(spark):
+    """train_ivf_centroids returns a (K, dim) float64 model; passing it
+    back into ivf_topk skips retraining and yields identical results
+    (the write-once corpus-assignment contract at scale)."""
+    import numpy as np
+
+    from ufuzzy_spark.operators.ann import ivf_topk, train_ivf_centroids
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = train_ivf_centroids(embs, n_centroids=8, n_iters=2)
+    assert cents.shape == (8, 64) and cents.dtype == np.float64
+    q = embs.where("vec_id < 3")
+    a = ivf_topk(embs, q, k=5, nprobe=2, centroids=cents).collect()
+    b = ivf_topk(embs, q, k=5, nprobe=2, centroids=cents).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.qid for r in a} <= {0, 1, 2}
+
+
 # -- multimodal plumbing ---------------------------------------------- #
 
 def _png(w, h):

@@ -1981,6 +1981,177 @@ def q_ann_srp_topk(spark, sf_dir):
     ).select("qid", "cid", "sim_r", "rnk")
 
 
+# IVF-flat ANN (the second scale path beside SRP: inverted lists from
+# a coarse quantizer, nprobe lists probed per query). Like the SRP
+# query this is the md5-PARITY variant so DuckDB replays the whole
+# structure bit-for-bit: the codebook is the _IVF_K corpus vectors
+# with the smallest md5('ivf|'||vec_id) — no Lloyd iterations, whose
+# mean reductions are float-order-dependent and cannot hash-match
+# across engines. The production kernel (operators/ann.py:ivf_topk)
+# trains a real spherical k-means; its recall is pinned by
+# tests/test_operators.py::test_ann_ivf_topk_recall_on_clustered_vectors.
+#
+# Cross-engine exactness of the ARGMAX/probe structure: both engines
+# compute cosine as the identical left-to-right double fold (the
+# established zip_with/aggregate == list_transform/list_sum parity),
+# so comparisons and row_number ties-by-cent_id agree exactly; only
+# the reported sim is rounded.
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+_IVF_COS = """
+    list_sum(list_transform(range(1, 65),
+        i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+_ANN_IVF_SQL = f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               ('0x' || substr(md5('ivf|' || vec_id::VARCHAR), 1, 15))::BIGINT
+                   AS hv
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id, embedding, hv FROM h
+              ORDER BY hv, vec_id LIMIT {_IVF_K}),
+    cents AS (
+        SELECT a.embedding AS cvec,
+               (SELECT count(*) FROM seeds b
+                 WHERE b.hv < a.hv
+                    OR (b.hv = a.hv AND b.vec_id < a.vec_id))::BIGINT AS cent_id
+        FROM seeds a
+    ),
+    sims_all AS (
+        SELECT e.vec_id, c.cent_id,
+               {_IVF_COS.format(a='e.embedding', b='c.cvec')} AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id AS cid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS r
+            FROM sims_all) WHERE r = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS r
+            FROM sims_all WHERE vec_id < {_N_QUERIES}) WHERE r <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.cid FROM probes p JOIN assigned a USING (cent_id)
+        WHERE a.cid != p.qid
+    ),
+    resim AS (
+        SELECT c.qid, c.cid,
+               round({_IVF_COS.format(a='q.embedding', b='e.embedding')}, 6)
+                   AS sim_r
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.qid
+        JOIN embeddings e ON e.vec_id = c.cid
+    )
+    SELECT qid, cid, sim_r,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY sim_r DESC, cid ASC)::BIGINT AS rnk
+    FROM resim QUALIFY rnk <= {_TOP_K}
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_SQL)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (operators/ann.py:ivf_topk is the k-means
+    production twin): the corpus is partitioned into _IVF_K inverted
+    lists by argmax-cosine against an md5-selected codebook; each
+    query probes its _IVF_NPROBE nearest lists; exact cosine re-rank
+    within — candidates ~ N * nprobe / K, never all-pairs. Every
+    ranking is the two-phase grouped_topk (no unpartitioned Window);
+    every crossJoin broadcasts the K-row codebook."""
+    from ufuzzy_spark.operators.topk import grouped_topk
+
+    e = _embs(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    hv = F.expr(
+        "CAST(conv(substr(md5(concat('ivf|', CAST(vec_id AS STRING))), "
+        "1, 15), 16, 10) AS BIGINT)"
+    )
+    seeds = (
+        e.select("vec_id", "embedding", hv.alias("hv"))
+        .orderBy("hv", "vec_id")
+        .limit(_IVF_K)
+    )
+    # rank the K seed rows into cent_ids WITHOUT a Window: cent_id =
+    # count of strictly-smaller (hv, vec_id) peers (K x K broadcast)
+    peers = seeds.select(
+        F.col("hv").alias("hb"), F.col("vec_id").alias("ib")
+    )
+    cents = (
+        seeds.crossJoin(F.broadcast(peers))
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("hb") < F.col("hv"))
+                    | ((F.col("hb") == F.col("hv")) & (F.col("ib") < F.col("vec_id"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cent_id")
+        )
+        .select("cent_id", F.col("embedding").alias("cvec"))
+    )
+
+    sims_all = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", cos(F.col("embedding"), F.col("cvec")).alias("sim")
+    )
+    assigned = grouped_topk(
+        sims_all, ["vec_id"], [F.desc("sim"), F.asc("cent_id")], 1
+    ).select(F.col("vec_id").alias("cid"), "cent_id")
+    probes = grouped_topk(
+        sims_all.where(F.col("vec_id") < _N_QUERIES),
+        ["vec_id"],
+        [F.desc("sim"), F.asc("cent_id")],
+        _IVF_NPROBE,
+    ).select(F.col("vec_id").alias("qid"), "cent_id")
+
+    # each corpus vector is in exactly ONE list and the probe set per
+    # qid holds distinct cent_ids — no dedup shuffle needed
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    qe = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    resim = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(cos(F.col("qe"), F.col("ce")), 6).alias("sim_r"),
+        )
+    )
+    return grouped_topk(
+        resim, ["qid"], [F.desc("sim_r"), F.asc("cid")], _TOP_K
+    ).select("qid", "cid", "sim_r", "rnk")
+
+
 @register(
     "embedding_stats",
     """

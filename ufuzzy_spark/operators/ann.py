@@ -1,14 +1,20 @@
 """Approximate nearest neighbors over embedding columns.
 
-Two paths per the scale brief:
+Three paths per the scale brief:
 - ``brute_force_topk``: exact cosine top-k via native array exprs
   (zip_with/aggregate — JVM, codegen). Baseline and small-N path.
 - ``lsh_topk``: random-hyperplane (signed random projection) bucketing
   — candidates share >= 1 of ``n_tables`` sign-pattern buckets, then
   exact re-rank within buckets. The bucket join reuses the LSH
   machinery's single-shuffle profile.
+- ``ivf_topk``: IVF-flat — a spherical-k-means coarse quantizer
+  partitions the corpus into inverted lists; each query probes its
+  ``nprobe`` nearest lists and re-ranks exactly within. Unlike SRP
+  each corpus vector lives in exactly ONE list, so the candidate join
+  needs no dedup shuffle, and recall/cost is tuned continuously via
+  (n_centroids, nprobe) instead of in power-of-two bit steps.
 
-Hyperplanes are seeded deterministically so runs are reproducible.
+Hyperplanes and centroid seeds are deterministic so runs reproduce.
 """
 
 from __future__ import annotations
@@ -115,6 +121,156 @@ def lsh_topk(
         .where(F.col("qid") != F.col("cid"))
         .select("qid", "qe", "cid", "ce")
         .dropDuplicates(["qid", "cid"])
+    )
+    sims = cand.select(
+        "qid", "cid", cosine_col(F.col("qe"), F.col("ce")).alias("sim")
+    )
+    return grouped_topk(
+        sims, ["qid"], [F.desc("sim"), F.asc("cid")], k
+    ).select("qid", "cid", "sim", "rnk")
+
+
+def make_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """vector -> ids of its ``nprobe`` nearest centroids by cosine,
+    best-first (array<long>). One NumPy matmul per Arrow batch; the
+    (n_centroids x dim) matrix rides the UDF closure — broadcast once
+    per executor, never per row. Ties resolve to the lower centroid id
+    (argmax/stable-sort order), so assignment is deterministic."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = mat @ cn.T  # (batch, K); row norm does not change argmax
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            p = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            row = np.arange(len(mat))[:, None]
+            # argpartition is unordered — sort the probe set best-first,
+            # ties by centroid id (stable sort over id-ordered columns)
+            top = np.sort(top, axis=1)
+            top = top[row, np.argsort(-sims[row, top], axis=1, kind="stable")]
+        return pd.Series(list(top.astype(np.int64)))
+
+    return assign_udf
+
+
+def train_ivf_centroids(
+    embs: DataFrame,
+    n_centroids: int = 64,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 65536,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for ``ivf_topk``.
+
+    Distributed where it matters: every assignment pass is an
+    Arrow-batched matmul on the executors over a DETERMINISTIC bounded
+    sample (``train_rows`` lowest md5-of-id rows — the standard IVF
+    discipline: coarse quantizers train on ~100-500 vectors per
+    centroid, never the full corpus). The only rows that ever reach
+    the driver are the model parameters themselves — ``n_centroids``
+    seed vectors and the (n_centroids x dim) per-dimension means each
+    iteration — the same bounded model-state fetch MLlib's KMeans
+    driver loop performs, NOT a data-proportional collect.
+
+    Empty clusters keep their previous centroid. Returns the raw mean
+    matrix (float64); ``make_assign_udf`` normalizes, and ``ivf_topk``
+    re-ranks with exact cosine, so centroid scale is irrelevant.
+    """
+    hv = F.expr(
+        "CAST(conv(substr(md5(concat('ivf-train|', "
+        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    sample = (
+        embs.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), hv.alias("_hv")
+        )
+        .orderBy("_hv", "_id")
+        .limit(train_rows)
+        .persist()
+    )
+    try:
+        seed_rows = sample.orderBy("_hv", "_id").limit(n_centroids).collect()
+        cents = np.stack(
+            [np.asarray(r["_v"], dtype=np.float64) for r in seed_rows]
+        )
+        dim = cents.shape[1]
+        for _ in range(n_iters):
+            assign = make_assign_udf(cents, nprobe=1)
+            means = (
+                sample.select(assign(F.col("_v"))[0].alias("_c"), "_v")
+                .select("_c", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_c", "_pos")
+                .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+                .collect()  # bounded: <= n_centroids * dim model rows
+            )
+            new = cents.copy()
+            seen: set[int] = set()
+            for r in means:
+                c = int(r["_c"])
+                if c not in seen:
+                    seen.add(c)
+                    new[c] = np.zeros(dim)
+                new[c][int(r["_pos"])] = r["_m"]
+            cents = new
+        return cents
+    finally:
+        sample.unpersist()
+
+
+def ivf_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the ``nprobe`` lists nearest each query,
+    exact cosine re-rank within (reference analog: the demo's
+    pre-bucketed list search, demos/compare.html:562-601 — narrow the
+    candidate set structurally, verify exactly inside it).
+
+    Scale shape: candidates per query ~ N * nprobe / n_centroids —
+    never all-pairs. The probe join is a broadcast equi-join on list
+    id; the corpus side computes its single list id in place (one
+    Arrow crossing) and shuffles nothing before the bounded two-phase
+    top-k. Because every corpus vector is in exactly one list, there
+    is no dedup shuffle (``lsh_topk`` needs one). Pass ``centroids``
+    to reuse a trained quantizer across query batches — at 10^12
+    vectors the quantizer is trained once on a bounded sample and the
+    list assignment is a write-once corpus column.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embs, n_centroids, n_iters, id_col, vec_col
+        )
+    assign1 = make_assign_udf(centroids, nprobe=1)
+    assignp = make_assign_udf(centroids, nprobe=nprobe)
+    cb = embs.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        assign1(F.col(vec_col))[0].alias("_list"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        F.explode(assignp(F.col(vec_col))).alias("_list"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "_list")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "qe", "cid", "ce")
     )
     sims = cand.select(
         "qid", "cid", cosine_col(F.col("qe"), F.col("ce")).alias("sim")
