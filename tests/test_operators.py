@@ -1202,11 +1202,14 @@ def test_jpeg_baseline_decode_pinned():
     import numpy as np
 
     _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "scripts"))
-    from gen_image_fixture import jpeg_baseline
+    from gen_image_fixture import _cos16, jpeg_baseline
 
     from ufuzzy_spark.multimodal.decode import decode_pixels
 
     def slow_idct(C):
+        # _cos16 (hardcoded double literals), not np.cos: keeps this
+        # side of the bit-for-bit pin host-independent too (CLAUDE.md
+        # cross-host transcendental trap)
         out = np.zeros((8, 8))
         for x in range(8):
             for y in range(8):
@@ -1217,8 +1220,8 @@ def test_jpeg_baseline_decode_pinned():
                         cv = 0.7071067811865476 if v == 0 else 1.0
                         acc += (
                             cu * cv * C[u, v]
-                            * np.cos((2 * x + 1) * u * np.pi / 16.0)
-                            * np.cos((2 * y + 1) * v * np.pi / 16.0)
+                            * _cos16((2 * x + 1) * u)
+                            * _cos16((2 * y + 1) * v)
                         )
                 out[x, y] = acc / 4.0
         return out

@@ -156,3 +156,65 @@ def test_catalog_write_is_crash_atomic(spark, tmp_path):
     )
     assert meta["bucket_by"] == ["id"]
     assert cat.read(spark, "tb").count() == 5
+
+
+def test_journal_commit_moves_out_of_torn_scan(tmp_path):
+    """Commit relocates the record to ``committed/`` so the torn scan
+    at the top of every ingest is O(in-flight ids), not O(every ingest
+    the stream ever ran); legacy flat committed records migrate in
+    passing, and a begun file whose committed twin already exists
+    (crash between the commit replace and the in-flight unlink) heals
+    to committed."""
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "cat")
+    for i in range(5):
+        cat.journal_begin(f"e{i}")
+        cat.journal_commit(f"e{i}")
+    d = tmp_path / "cat" / "_ingests"
+    assert list(d.glob("*.json")) == []  # nothing left in-flight
+    assert len(list((d / "committed").glob("*.json"))) == 5
+    assert cat.torn_ingests() == []
+    cat.journal_commit("e0")  # idempotent re-commit
+    assert cat.journal_status("e0") == "committed"
+
+    # legacy flat layout (pre-subdir): a committed record at top level
+    # is migrated by the scan, then never touched again
+    legacy = d / "00legacy.json"
+    legacy.write_text(json.dumps({"ingest_id": "legacy", "status": "committed"}))
+    assert cat.torn_ingests() == []
+    assert not legacy.exists()
+    assert (d / "committed" / "00legacy.json").exists()
+    assert cat.torn_ingests() == []
+
+    # crash between the commit replace and the unlink: both files
+    # exist — done-file existence IS the commit, the stale begun file
+    # is removed and the id reads committed
+    cat.journal_begin("e9")
+    p = cat._journal_path("e9")
+    rec = json.loads(p.read_text())
+    rec["status"] = "committed"
+    cat._journal_done_path("e9").write_text(json.dumps(rec))
+    assert cat.torn_ingests() == []
+    assert not p.exists()
+    assert cat.journal_status("e9") == "committed"
+
+
+def test_latest_snapshot_tolerates_torn_marker(spark, tmp_path):
+    """A writer dying inside the marker write must not brick the
+    catalog: an empty/garbage ``_LATEST`` used to raise ``int('')``
+    in every subsequent catalog op. The dir scan (whose rename is the
+    real commit point) is the source of truth; the next write heals
+    the marker."""
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "cat")
+    df = spark.range(3).selectExpr("id")
+    cat.write(df, "t")
+    marker = tmp_path / "cat" / "t" / "_LATEST"
+    marker.write_text("")  # torn write_text truncation
+    assert cat.latest_snapshot("t") == 1
+    assert cat.write(df, "t") == 2
+    assert marker.read_text() == "2"
+    marker.write_text("not a number")
+    assert cat.latest_snapshot("t") == 2

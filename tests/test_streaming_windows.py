@@ -179,3 +179,91 @@ def test_apply_in_pandas_with_state_equals_islands(spark, drops):
         if r.user_id != "zz"
     }
     assert got == _expected_sessions()
+
+
+def test_stateful_sessionizer_out_of_order_within_watermark(spark, tmp_path):
+    """Out-of-order events inside the watermark: one within gap of the
+    open session extends it BACKWARD (session_start moves earlier);
+    one further back forms its OWN earlier session — the interval-merge
+    semantics native session_window has. The pre-fix fold absorbed any
+    earlier event into the open session (negative delta always passed
+    the gap test), yielding one session (start 100, n=4) instead of
+    these two.
+
+    Batch 1 opens [100', 102']; watermark after it is 42'. Batch 2
+    arrives out of order with 55' (> gap before the session: its own
+    island) and 95' (within gap: backward extension). A sentinel then
+    advances the watermark past every close."""
+    from ufuzzy_spark.streaming.windows import sessionize_with_state
+
+    def mk(user, minute, etype="click"):
+        return {"user_id": user, "ts": _mins(minute), "event_type": etype,
+                "value": 1.0}
+
+    drops = (
+        [mk("d", 100), mk("d", 102)],
+        [mk("d", 55), mk("d", 95)],
+        [mk("zz", 600, "sentinel")],  # two sentinel batches: a timeout
+        [mk("zz", 840, "sentinel")],  # fires against the PREVIOUS
+        # batch's watermark, so one advancing batch alone cannot close
+        # the open session (same shape as the module fixture)
+    )
+    in_dir = tmp_path / "in"
+    schema = spark.createDataFrame(drops[0]).schema
+    for chunk in drops:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in _run_stream(
+            spark, (str(in_dir), schema, tmp_path),
+            lambda s: sessionize_with_state(s, GAP_MIN, WM),
+            "sess_ooo",
+        ).collect()
+        if r.user_id != "zz"
+    }
+    assert got == {("d", _mins(55), 1), ("d", _mins(95), 3)}
+
+
+def test_stateful_sessionizer_non_utc_session_tz(spark, tmp_path):
+    """sessionize_with_state must be correct under ANY
+    spark.sql.session.timeZone: event times cross the Arrow boundary
+    as JVM-computed epoch micros (naive pandas datetimes are
+    session-LOCAL — treating them as epoch shifts the event-time
+    timeout by the tz offset; under an east-of-UTC session the
+    timeout lands hours past the true-epoch watermark and the open
+    session never closes)."""
+    from ufuzzy_spark.streaming.windows import sessionize_with_state
+
+    def mk(user, minute, etype="click"):
+        return {"user_id": user, "ts": _mins(minute), "event_type": etype,
+                "value": 1.0}
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        drops = (
+            [mk("d", 0), mk("d", 5)],
+            [mk("zz", 600, "sentinel")],
+            [mk("zz", 840, "sentinel")],
+        )
+        in_dir = tmp_path / "in"
+        schema = spark.createDataFrame(drops[0]).schema
+        for chunk in drops:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(in_dir))
+        got = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in _run_stream(
+                spark, (str(in_dir), schema, tmp_path),
+                lambda s: sessionize_with_state(s, GAP_MIN, WM),
+                "sess_tz",
+            ).collect()
+            if r.user_id != "zz"
+        }
+        assert got == {("d", _mins(0), 2)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

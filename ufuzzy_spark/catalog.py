@@ -63,7 +63,12 @@ class LocalParquetCatalog:
         vals = []
         marker = self._tdir(table) / "_LATEST"
         if marker.exists():
-            vals.append(int(marker.read_text().strip()))
+            # tolerate a TORN marker (writer died mid-write_text before
+            # the tmp+replace protocol landed): the dir scan is the
+            # source of truth, the marker only a cache
+            txt = marker.read_text().strip()
+            if txt.isdigit():
+                vals.append(int(txt))
         snaps = self.snapshots(table)
         if snaps:
             vals.append(snaps[-1])
@@ -151,7 +156,10 @@ class LocalParquetCatalog:
         }
         (staging / "_META.json").write_text(json.dumps(meta))
         os.rename(staging, path)  # the commit point
-        (self._tdir(table) / "_LATEST").write_text(str(snap))
+        marker = self._tdir(table) / "_LATEST"
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text(str(snap))
+        os.replace(tmp, marker)  # never leave a torn marker
         return snap
 
     def append(self, df: DataFrame, table: str, partition_by=None) -> int:
@@ -307,6 +315,13 @@ class LocalParquetCatalog:
         digest = hashlib.md5(ingest_id.encode()).hexdigest()
         return self.root / "_ingests" / f"{digest}.json"
 
+    def _journal_done_path(self, ingest_id: str) -> Path:
+        # committed records live in a subdir so the torn-state scan
+        # (run at the top of EVERY ingest) touches only in-flight
+        # files — O(in-flight), not O(stream lifetime)
+        digest = hashlib.md5(ingest_id.encode()).hexdigest()
+        return self.root / "_ingests" / "committed" / f"{digest}.json"
+
     def journal_begin(self, ingest_id: str, payload: dict | None = None):
         p = self._journal_path(ingest_id)
         p.parent.mkdir(exist_ok=True)
@@ -321,16 +336,23 @@ class LocalParquetCatalog:
         os.replace(tmp, p)
 
     def journal_commit(self, ingest_id: str):
+        done = self._journal_done_path(ingest_id)
+        if done.exists():
+            return  # idempotent re-commit
         p = self._journal_path(ingest_id)
         rec = json.loads(p.read_text())
         rec["status"] = "committed"
         rec["committed_ts"] = time.time()
+        done.parent.mkdir(exist_ok=True)
         tmp = p.with_suffix(".tmp")
         tmp.write_text(json.dumps(rec))
-        os.replace(tmp, p)
+        os.replace(tmp, done)  # the commit point: done-file existence
+        p.unlink(missing_ok=True)  # crash here is healed by torn_ingests
 
     def journal_status(self, ingest_id: str) -> str | None:
         """None (never begun) | 'begun' | 'committed'."""
+        if self._journal_done_path(ingest_id).exists():
+            return "committed"
         p = self._journal_path(ingest_id)
         if not p.exists():
             return None
@@ -338,13 +360,28 @@ class LocalParquetCatalog:
 
     def torn_ingests(self) -> list[str]:
         """Ingest ids begun but never committed — each marks state
-        where some tables hold the ingest's rows and others may not."""
+        where some tables hold the ingest's rows and others may not.
+
+        Scans only the in-flight dir (committed records move to
+        ``committed/`` at commit time), so the per-ingest cost is
+        O(in-flight ids), not O(every ingest the stream ever ran).
+        Heals two leftovers in passing: a begun file whose committed
+        twin exists (writer died between the commit replace and the
+        unlink) and legacy pre-subdir committed records."""
         d = self.root / "_ingests"
         if not d.exists():
             return []
         out = []
         for p in sorted(d.glob("*.json")):
+            done = d / "committed" / p.name
+            if done.exists():
+                p.unlink()  # commit landed; in-flight cleanup died
+                continue
             rec = json.loads(p.read_text())
-            if rec["status"] == "begun":
-                out.append(rec["ingest_id"])
+            if rec["status"] == "committed":
+                # legacy flat layout — migrate so future scans skip it
+                done.parent.mkdir(exist_ok=True)
+                os.replace(p, done)
+                continue
+            out.append(rec["ingest_id"])
         return out

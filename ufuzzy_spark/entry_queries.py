@@ -1784,12 +1784,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
     cs = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from ufuzzy_spark.operators.ann import cosine_col
 
     pairs = (
         cs.crossJoin(F.broadcast(qs))
@@ -1797,10 +1792,7 @@ def q_ann_cosine_topk(spark, sf_dir):
         .select(
             "qid",
             "cid",
-            (
-                dot(F.col("qe"), F.col("ce"))
-                / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce"))))
-            ).alias("sim"),
+            cosine_col(F.col("qe"), F.col("ce")).alias("sim"),
         )
     )
     from ufuzzy_spark.operators.topk import grouped_topk
@@ -1951,12 +1943,7 @@ def q_ann_srp_topk(spark, sf_dir):
         .distinct()
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from ufuzzy_spark.operators.ann import cosine_col
 
     qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
@@ -1966,14 +1953,7 @@ def q_ann_srp_topk(spark, sf_dir):
         .select(
             "qid",
             "cid",
-            F.round(
-                dot(F.col("qe"), F.col("ce"))
-                / (
-                    F.sqrt(dot(F.col("qe"), F.col("qe")))
-                    * F.sqrt(dot(F.col("ce"), F.col("ce")))
-                ),
-                6,
-            ).alias("sim_r"),
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("sim_r"),
         )
     )
     return grouped_topk(
@@ -2073,15 +2053,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     e = _embs(spark, sf_dir)
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def cos(a, b):
-        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    from ufuzzy_spark.operators.ann import cosine_col as cos
 
     hv = F.expr(
         "CAST(conv(substr(md5(concat('ivf|', CAST(vec_id AS STRING))), "
@@ -2251,12 +2223,7 @@ def q_embedding_near_dup(spark, sf_dir):
         .distinct()
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from ufuzzy_spark.operators.ann import cosine_col
 
     xe = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("xe"))
     ye = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("ye"))
@@ -2264,15 +2231,7 @@ def q_embedding_near_dup(spark, sf_dir):
         cand.join(xe, "ia")
         .join(ye, "ib")
         .where(
-            F.round(
-                dot(F.col("xe"), F.col("ye"))
-                / (
-                    F.sqrt(dot(F.col("xe"), F.col("xe")))
-                    * F.sqrt(dot(F.col("ye"), F.col("ye")))
-                ),
-                6,
-            )
-            >= _NEARDUP_TAU
+            F.round(cosine_col(F.col("xe"), F.col("ye")), 6) >= _NEARDUP_TAU
         )
         .select("ia", "ib")
     )

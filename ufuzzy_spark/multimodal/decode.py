@@ -213,19 +213,63 @@ _ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
 
+# cos(k*pi/16) for k = 0..8 as exact double literals — NOT np.cos:
+# glibc/NumPy transcendentals are ifunc-dispatched per CPU and can
+# differ in the last ulp across hosts, which through the pixel path's
+# final round() flips bytes on near-ties (the CLAUDE.md cross-host
+# trap; same fix as the fixture encoder, scripts/gen_image_fixture.py
+# _COS16).
+_COS16 = (
+    1.0,
+    0.9807852804032304,
+    0.9238795325112867,
+    0.8314696123025452,
+    0.7071067811865476,
+    0.5555702330196022,
+    0.38268343236508984,
+    0.19509032201612833,
+    0.0,
+)
+
+
+def _cos16(m: int) -> float:
+    """cos(m * pi / 16) by exact symmetry reduction onto _COS16."""
+    m %= 32
+    if m > 16:
+        m = 32 - m
+    return -_COS16[16 - m] if m > 8 else _COS16[m]
+
+
 # 1-D DCT-III basis: _IDCT_A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
-# 2-D IDCT of a coefficient block C is A.T @ C @ A (ITU-T T.81 A.3.3)
+# the 2-D IDCT of a coefficient block C is A.T @ C @ A (T.81 A.3.3),
+# computed below in _idct2 without BLAS.
 _IDCT_A = np.array(
     [
         [
-            (np.sqrt(0.5) if u == 0 else 1.0)
-            / 2.0
-            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            (_COS16[4] if u == 0 else 1.0) / 2.0 * _cos16((2 * x + 1) * u)
             for x in range(8)
         ]
         for u in range(8)
     ]
 )
+
+
+def _idct2(C: np.ndarray) -> np.ndarray:
+    """2-D IDCT (A.T @ C @ A) as fixed-order elementwise accumulation.
+
+    BLAS matmul dispatches on CPU features; its reduction order / FMA
+    use varies between hosts, so a value a last-ulp across a rounding
+    tie flips a pixel byte after a host swap (measured on the encoder
+    side — CLAUDE.md). Outer products are pure elementwise IEEE ops
+    and the Python loop fixes the accumulation order, so this is
+    bit-identical everywhere at NumPy vector speed."""
+    t = np.zeros((8, 8))
+    for v in range(8):
+        t += np.outer(C[:, v], _IDCT_A[v])  # t = C @ A
+    out = np.zeros((8, 8))
+    for u in range(8):
+        out += np.outer(_IDCT_A[u], t[u])  # out = A.T @ t
+    return out
 
 
 class _JpegBits:
@@ -455,7 +499,7 @@ def _jpeg_baseline(p: bytes) -> np.ndarray | None:
                     preds[ci], coeffs = _jpeg_block(
                         rd, dc_tbls[c["dc"]], ac_tbls[c["ac"]], qt, preds[ci]
                     )
-                    blk = _IDCT_A.T @ coeffs.reshape(8, 8) @ _IDCT_A
+                    blk = _idct2(coeffs.reshape(8, 8))
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk

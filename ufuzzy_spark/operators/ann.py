@@ -28,7 +28,11 @@ from pyspark.sql.types import ArrayType, LongType
 from ufuzzy_spark.operators.topk import grouped_topk
 
 
-def _dot(a, b):
+def dot_col(a, b):
+    """array<float> dot product, JVM-side (zip_with/aggregate fold,
+    left-to-right — the order the DuckDB oracle parity contract pins).
+    The ONE definition of this fold: entry queries import it rather
+    than re-rolling, so the parity contract has a single home."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,11 +41,11 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(_dot(a, a))
+    return F.sqrt(dot_col(a, a))
 
 
 def cosine_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return dot_col(a, b) / (_norm(a) * _norm(b))
 
 
 def brute_force_topk(

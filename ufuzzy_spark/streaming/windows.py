@@ -113,9 +113,9 @@ def sessionize_with_state(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Gap sessions as a CUSTOM stateful operator
-    (``applyInPandasWithState``, event-time timeout) — semantics
-    identical to ``session_windows``, emitting one row per CLOSED
-    session.
+    (``applyInPandasWithState``, event-time timeout) — the same
+    gap-session semantics as ``session_windows`` (one divergence,
+    documented below), emitting one row per CLOSED session.
 
     Per micro-batch and user: fold the batch's events (sorted by
     event time) into the open session carried in state; a gap inside
@@ -126,12 +126,25 @@ def sessionize_with_state(
     never reach the operator (dropped upstream), so an emitted
     session can never be reopened — the append-mode contract.
 
-    Arrives-out-of-order data WITHIN the watermark is handled inside
-    a batch (sorted fold) but can split sessions if it straddles
-    batches in reverse event-time order; that is the documented
-    approximation of every watermark-bounded sessionizer, including
-    native ``session_window`` (which this operator is differentially
-    pinned against — identical output on the test corpus)."""
+    Out-of-order data WITHIN the watermark is folded as interval
+    merging (an event earlier than the open session extends it
+    backward if within gap, or forms its own earlier session if not —
+    the native semantics). The one divergence from native
+    ``session_window``: gap-closed sessions are emitted EAGERLY at the
+    end of their micro-batch, so a later batch carrying an
+    in-watermark event that native would merge into an
+    already-emitted session produces a separate session row here
+    (native holds every session in state until the watermark passes
+    its close). On in-event-time-order arrival the outputs are
+    identical — differentially pinned against ``session_window`` in
+    tests/test_streaming_windows.py.
+
+    Timestamps cross the Arrow boundary as JVM-computed epoch
+    microseconds (``unix_micros``) and come back tz-aware UTC, so the
+    fold and its event-time timeout are correct under any
+    ``spark.sql.session.timeZone`` (naive pandas datetimes are
+    session-local — treating them as epoch shifts the timeout by the
+    tz offset)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fold(key, pdf_iter, state: GroupState):
@@ -143,7 +156,7 @@ def sessionize_with_state(
             return pd.DataFrame(
                 {
                     "user_id": [user],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_start": [pd.Timestamp(start_us, unit="us", tz="UTC")],
                     "n_events": [n],
                 }
             )
@@ -154,35 +167,39 @@ def sessionize_with_state(
             yield emit(start_us, n)
             return
 
-        ts_us = []
+        ivs = []  # (start_us, end_us, n_events), one per batch event
         for pdf in pdf_iter:
-            # datetime64[ns] -> epoch micros
-            ts_us.extend(int(v) // 1000 for v in pdf[ts_col].astype("int64"))
-        ts_us.sort()
-
+            ivs.extend((int(v), int(v), 1) for v in pdf["_ts_us"])
         if state.exists:
-            start_us, last_us, n = state.get
-        elif ts_us:
-            start_us = last_us = ts_us[0]
-            n = 1
-            ts_us = ts_us[1:]
-        else:  # no rows and no state: nothing to do
+            s0, e0, n0 = state.get
+            ivs.append((s0, e0, n0))
+        if not ivs:  # no rows and no state: nothing to do
             return
+        ivs.sort()
 
-        for t in ts_us:
-            if t - last_us <= gap_us:
-                n += 1
-                last_us = max(last_us, t)
+        # interval-merge: adjacent sessions within gap coalesce (this
+        # is how a late event before the open session extends it
+        # backward, and how a far-earlier one stays its own session)
+        merged = [ivs[0]]
+        for s, e, n in ivs[1:]:
+            ps, pe, pn = merged[-1]
+            if s - pe <= gap_us:
+                merged[-1] = (ps, max(pe, e), pn + n)
             else:
-                yield emit(start_us, n)
-                start_us = last_us = t
-                n = 1
+                merged.append((s, e, n))
+
+        for s, _e, n in merged[:-1]:  # gap-closed inside the batch
+            yield emit(s, n)
+        start_us, last_us, n = merged[-1]
         state.update((start_us, last_us, n))
         # fires once the event-time watermark passes session close
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
 
     return (
         events.withWatermark(ts_col, watermark)
+        # JVM-side true-epoch micros: tz-proof across Arrow (naive
+        # pandas datetimes would be session-local, not epoch)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
         .groupBy("user_id")
         .applyInPandasWithState(
             fold,
