@@ -1500,3 +1500,123 @@ def test_repetition_metrics_no_shuffle(spark):
     )
     plan = formatted_plan(repetition_metrics(d))
     assert "Exchange" not in plan
+
+
+# -- webtext hygiene: line dedup / PII scrub / URL canonicalization --- #
+
+def test_remove_duplicate_lines_keeps_global_first(spark):
+    from ufuzzy_spark.operators.linededup import remove_duplicate_lines
+
+    banner = "accept all cookies to continue reading this site"
+    short = "ok go"  # 2 tokens: below min_tokens, never deduped
+    rows = [
+        (0, [banner, "unique alpha beta gamma delta epsilon", short]),
+        (1, [banner, short, "another unique line with many tokens here"]),
+        (2, [banner, banner]),  # every eligible line is a later dup
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(d, min_tokens=5).collect()
+    }
+    assert got[0].n_removed == 0 and got[0].clean_text.startswith(banner)
+    assert got[1].n_removed == 1 and banner not in got[1].clean_text
+    assert short in got[1].clean_text
+    assert got[2].n_removed == 2 and got[2].clean_text == ""
+    assert [got[i].n_lines for i in range(3)] == [3, 3, 2]
+
+
+def test_remove_duplicate_lines_intra_doc_order(spark):
+    from ufuzzy_spark.operators.linededup import remove_duplicate_lines
+
+    line = "the quick brown fox jumps over the lazy dog"
+    d = spark.createDataFrame(
+        [(5, ["start line one two three four", line,
+              "mid point alpha beta gamma", line])],
+        "doc_id long, lines array<string>",
+    )
+    r = remove_duplicate_lines(d).collect()[0]
+    assert r.n_removed == 1
+    assert r.clean_text.split("\n") == [
+        "start line one two three four", line,
+        "mid point alpha beta gamma",
+    ]
+
+
+def test_scrub_pii_classes_and_order_contract(spark):
+    import hashlib
+
+    from ufuzzy_spark.operators.pii import scrub_col, scrub_pii
+
+    rows = [
+        (0, "mail a.b-c_9@ex-ample.co.uk ip 192.168.0.1 "
+            "tel +1 (415) 555-0123 end"),
+        (1, "no pii here at all"),
+        (2, "double x@y.io z@w.ai"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(d).collect()}
+    assert (got[0].n_emails, got[0].n_ipv4, got[0].n_phones) == (1, 1, 1)
+    assert got[2].n_emails == 2
+    # untouched doc: fingerprint equals the original text's
+    assert got[1].clean_md5 == hashlib.md5(rows[1][1].encode()).hexdigest()
+    assert got[1].clean_len == len(rows[1][1])
+    # order contract: the IP is typed <IP>, not eaten by the looser
+    # phone pattern that runs after it
+    clean = (
+        d.where("doc_id = 0")
+        .select(scrub_col(F.col("text")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert "<EMAIL>" in clean and "<IP>" in clean and "<PHONE>" in clean
+    assert "192" not in clean and "415" not in clean
+
+
+def test_canonical_url_folds_equivalents(spark):
+    from ufuzzy_spark.operators.urlnorm import canonicalize_urls
+
+    rows = [
+        (0, "HTTP://WWW.Example.com:80/a//b/?utm_source=feed&b=2&a=1#top"),
+        (1, "http://example.com/a/b?a=1&b=2"),
+        (2, "https://example.com:443/"),
+        (3, "https://example.com"),
+        (4, "not a url at all"),
+        (5, "http://example.com:8080/x"),  # non-default port preserved
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.url_canon, r.url_host)
+        for r in canonicalize_urls(d).collect()
+    }
+    assert got[0] == got[1] == ("http://example.com/a/b?a=1&b=2",
+                                "example.com")
+    assert got[2] == got[3] == ("https://example.com/", "example.com")
+    assert got[4] == ("not a url at all", "")
+    assert got[5] == ("http://example.com:8080/x", "example.com:8080")
+
+
+def test_pii_and_urlnorm_are_shuffle_free(spark):
+    from ufuzzy_spark.operators.pii import scrub_pii
+    from ufuzzy_spark.operators.urlnorm import canonicalize_urls
+    from ufuzzy_spark.plans.explain import formatted_plan
+
+    d = spark.createDataFrame(
+        [(0, "t", "http://a.com/")], "doc_id long, text string, url string"
+    )
+    assert "Exchange" not in formatted_plan(scrub_pii(d))
+    assert "Exchange" not in formatted_plan(canonicalize_urls(d))
+
+
+def test_line_dedup_plan_has_no_cartesian(spark):
+    from ufuzzy_spark.operators.linededup import remove_duplicate_lines
+    from ufuzzy_spark.plans.explain import formatted_plan
+
+    d = spark.createDataFrame(
+        [(0, ["a b c d e f"])], "doc_id long, lines array<string>"
+    )
+    plan = formatted_plan(remove_duplicate_lines(d))
+    assert "CartesianProduct" not in plan
+    # first-occurrence election must partial-aggregate map-side (the
+    # skew-collapse argument in the module docstring)
+    assert plan.count("HashAggregate") >= 2
