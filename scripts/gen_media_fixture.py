@@ -54,6 +54,210 @@ def flac_streaminfo(rate: int, ch: int, bits: int, total: int) -> bytes:
     return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
 
 
+# table-driven CRCs (poly 0x07 / 0x8005, init 0) — deliberately a
+# DIFFERENT implementation from multimodal/flac.py's bitwise loops so
+# the fixture generator shares no code with the decoder under test
+_C8 = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _C8.append(_c)
+_C16 = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _C16.append(_c)
+
+
+def _crc8_tab(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _C8[c ^ b]
+    return c
+
+
+def _crc16_tab(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ _C16[(c >> 8) ^ b]
+    return c
+
+
+class _BitWriter:
+    """MSB-first bit packer (FLAC frame encoder support)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def unary(self, q: int) -> None:
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def _flac_residual(w: _BitWriter, res: list[int], order: int,
+                   blocksize: int, porder: int = 0,
+                   escape_raw: int | None = None) -> None:
+    """Rice-code a residual vector (method 0, 4-bit params). Each
+    partition picks the cost-optimal parameter by integer scan, or
+    writes an escape-to-raw partition when escape_raw is set."""
+    w.write(0, 2)
+    w.write(porder, 4)
+    pos = 0
+    for part in range(1 << porder):
+        n = (blocksize >> porder) - (order if part == 0 else 0)
+        chunk = res[pos : pos + n]
+        pos += n
+        if escape_raw is not None:
+            assert all(-(1 << (escape_raw - 1)) <= v < (1 << (escape_raw - 1))
+                       for v in chunk)
+            w.write(0xF, 4)
+            w.write(escape_raw, 5)
+            for v in chunk:
+                w.write(v, escape_raw)
+            continue
+        zz = [(v << 1) ^ (v >> 63) for v in np.asarray(chunk, dtype=np.int64).tolist()]
+        k = min(range(15), key=lambda kk: sum(1 + kk + (u >> kk) for u in zz))
+        w.write(k, 4)
+        for u in zz:
+            w.unary(u >> k)
+            w.write(u, k)
+    assert pos == len(res)
+
+
+def _flac_subframe(w: _BitWriter, samples: list[int], bits: int,
+                   spec: tuple, blocksize: int) -> None:
+    """Encode one subframe. spec: ('constant',) | ('verbatim',) |
+    ('fixed', order[, porder[, escape_raw]]) |
+    ('lpc', coefs, shift, precision) | ('wasted', k, inner_spec)."""
+    wasted = 0
+    if spec[0] == "wasted":
+        wasted, spec = spec[1], spec[2]
+        assert all(s % (1 << wasted) == 0 for s in samples)
+        samples = [s >> wasted for s in samples]
+    bits -= wasted
+    fixed_coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                   4: [4, -6, 4, -1]}
+
+    w.write(0, 1)
+    if spec[0] == "constant":
+        assert len(set(samples)) == 1
+        w.write(0, 6)
+    elif spec[0] == "verbatim":
+        w.write(1, 6)
+    elif spec[0] == "fixed":
+        w.write(8 + spec[1], 6)
+    else:
+        w.write(32 + len(spec[1]) - 1, 6)
+    if wasted:
+        w.write(1, 1)
+        w.unary(wasted - 1)
+    else:
+        w.write(0, 1)
+
+    if spec[0] == "constant":
+        w.write(samples[0], bits)
+    elif spec[0] == "verbatim":
+        for s in samples:
+            w.write(s, bits)
+    elif spec[0] == "fixed":
+        order = spec[1]
+        porder = spec[2] if len(spec) > 2 else 0
+        escape = spec[3] if len(spec) > 3 else None
+        coefs = fixed_coefs[order]
+        for s in samples[:order]:
+            w.write(s, bits)
+        res = [
+            samples[i] - sum(c * samples[i - 1 - j]
+                             for j, c in enumerate(coefs))
+            for i in range(order, blocksize)
+        ]
+        _flac_residual(w, res, order, blocksize, porder, escape)
+    else:  # lpc
+        _, coefs, shift, prec = spec
+        order = len(coefs)
+        for s in samples[:order]:
+            w.write(s, bits)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c, prec)
+        res = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+               >> shift)
+            for i in range(order, blocksize)
+        ]
+        _flac_residual(w, res, order, blocksize, 0, None)
+
+
+def flac_encode(rate: int, samples: np.ndarray,
+                frame_specs: list[dict], block: int) -> bytes:
+    """Real FLAC encoder (fixed blocksize, 16-bit): STREAMINFO + one
+    frame per spec. samples is (total_frames, ch) int16 with
+    total == len(frame_specs) * block. Each spec: {'assign':
+    'indep'|'ls'|'rs'|'ms', 'subs': [subframe spec per STORED
+    channel]} — see _flac_subframe. Decoded output must be
+    bit-identical to `samples` (FLAC is lossless)."""
+    crc8, crc16 = _crc8_tab, _crc16_tab
+
+    total, ch = samples.shape
+    assert total == len(frame_specs) * block
+    out = bytearray(flac_streaminfo(rate, ch, 16, total))
+    assign_code = {"indep": ch - 1, "ls": 8, "rs": 9, "ms": 10}
+    for fno, spec in enumerate(frame_specs):
+        blk = samples[fno * block : (fno + 1) * block].astype(np.int64)
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize stream
+        hdr.write(7, 4)  # blocksize-1 as 16 bits at header end
+        hdr.write(0, 4)  # sample rate from STREAMINFO
+        hdr.write(assign_code[spec["assign"]], 4)
+        hdr.write(0b100, 3)  # 16-bit samples
+        hdr.write(0, 1)  # reserved
+        assert fno < 0x80
+        hdr.write(fno, 8)  # UTF-8 coded frame number (1 byte)
+        hdr.write(block - 1, 16)
+        frame = _BitWriter()
+        frame.out = bytearray(hdr.out)
+        frame.out.append(crc8(bytes(hdr.out)))
+
+        if spec["assign"] == "indep":
+            stored = [(blk[:, c].tolist(), 16) for c in range(ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = (left - right).tolist()
+            if spec["assign"] == "ls":
+                stored = [(left.tolist(), 16), (side, 17)]
+            elif spec["assign"] == "rs":
+                stored = [(side, 17), (right.tolist(), 16)]
+            else:
+                stored = [(((left + right) >> 1).tolist(), 16), (side, 17)]
+        for (sig, bits), sub in zip(stored, spec["subs"]):
+            _flac_subframe(frame, sig, bits, sub, block)
+        frame.align()
+        body = bytes(frame.out)
+        out += body + crc16(body).to_bytes(2, "big")
+    return bytes(out)
+
+
 def mp3_cbr(
     kbps_idx: int, audio_bytes: int, id3_pad: int, stereo: bool
 ) -> bytes:
@@ -181,6 +385,67 @@ def build_rows() -> tuple[list[dict], list[dict]]:
         480000 * 1000 // 48000, 48000, 2, 0, 0, None, None)
     add("med://flac/1", flac_streaminfo(96000, 8, 24, 123456789), "flac",
         123456789 * 1000 // 96000, 96000, 8, 0, 0, None, None)
+
+    # FLAC with REAL encoded frames (round 5): decode_flac must
+    # reproduce the synthesized samples bit-exactly (lossless).
+    # Integer-only synthesis — no transcendentals — per the
+    # cross-host fixture-determinism rule (CLAUDE.md).
+    blk = 192
+    n2 = 2 * blk
+    saw = (np.arange(n2, dtype=np.int64) * 37) % 2000 - 1000
+    mono = np.clip(
+        saw + rng.randint(-50, 51, size=n2), -32768, 32767
+    ).astype(np.int16).reshape(-1, 1)
+    flac2 = flac_encode(
+        8000, mono,
+        [{"assign": "indep", "subs": [("fixed", 2)]},
+         {"assign": "indep", "subs": [("verbatim",)]}],
+        blk,
+    )
+    add("med://flac/2", flac2, "flac", n2 * 1000 // 8000, 8000, 1, 0, 0,
+        n2, int(np.abs(mono.astype(np.int64)).max()))
+
+    blk3 = 256
+    n3 = 3 * blk3
+    t3 = np.arange(n3, dtype=np.int64)
+    left = (t3 * 53) % 4000 - 2000 + rng.randint(-20, 21, size=n3)
+    right = (t3 * 29) % 3000 - 1500 + rng.randint(-20, 21, size=n3)
+    right[2 * blk3 :] = 777  # constant tail -> CONSTANT subframe valid
+    st = np.stack([left, right], axis=1).astype(np.int16)
+    flac3 = flac_encode(
+        44100, st,
+        [
+            # left/side: LPC (coefs through the quantized-coef path) +
+            # fixed with a 2-partition residual
+            {"assign": "ls", "subs": [("lpc", [2, -1], 0, 5),
+                                      ("fixed", 1, 1)]},
+            # mid/side and side/right exercise both other decorrelations
+            {"assign": "ms", "subs": [("fixed", 2), ("fixed", 1)]},
+            {"assign": "rs", "subs": [("verbatim",), ("constant",)]},
+        ],
+        blk3,
+    )
+    add("med://flac/3", flac3, "flac", n3 * 1000 // 44100, 44100, 2, 0, 0,
+        n3, int(np.abs(st.astype(np.int64)).max()))
+
+    # wasted bits (all samples x4) + escape-to-raw residual partition
+    base = ((np.arange(blk, dtype=np.int64) * 11) % 500 - 250) * 4
+    w4 = base.astype(np.int16).reshape(-1, 1)
+    flac4 = flac_encode(
+        16000, w4,
+        [{"assign": "indep",
+          "subs": [("wasted", 2, ("fixed", 1, 0, 12))]}],
+        blk,
+    )
+    add("med://flac/4", flac4, "flac", blk * 1000 // 16000, 16000, 1, 0, 0,
+        blk, int(np.abs(base).max()))
+
+    # corrupt frame body (bit flip before the frame CRC-16): metadata
+    # still parses from STREAMINFO, pcm honestly NULL
+    bad = bytearray(flac2)
+    bad[-3] ^= 0x40
+    add("med://flac/5", bytes(bad), "flac", n2 * 1000 // 8000, 8000, 1,
+        0, 0, None, None)
 
     # MP3: idx 9 = 128 kbps MPEG1 L3 @44100; CBR estimate over
     # post-ID3 bytes (audio_bytes * 8 // kbps ms — documented estimate)

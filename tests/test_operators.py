@@ -285,6 +285,84 @@ def test_parse_media_header_real_formats():
     assert decode_pcm(flac_streaminfo(44100, 2, 16, 100)) is None
 
 
+def test_flac_decode_round_trips_every_subframe_type():
+    """Round 5: real FLAC bitstream decode (multimodal/flac.py).
+    Encoder (scripts/gen_media_fixture.py — independent bit packer +
+    table-driven CRCs) -> decoder must be bit-exact for every
+    subframe type, stereo decorrelation, partition order, wasted
+    bits, and the escape-to-raw residual path."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import numpy as np
+    from gen_media_fixture import flac_encode, flac_streaminfo
+    from ufuzzy_spark.multimodal.flac import decode_flac
+
+    rng = np.random.RandomState(99)
+    blk = 128
+
+    # mono: fixed orders 0-4 + constant + verbatim, partition orders 0-2
+    sig = np.cumsum(rng.randint(-80, 81, size=7 * blk)).astype(np.int64)
+    sig = np.clip(sig, -30000, 30000)
+    sig[5 * blk : 6 * blk] = -12345  # constant block
+    mono = sig.astype(np.int16).reshape(-1, 1)
+    specs = [
+        {"assign": "indep", "subs": [("fixed", 0)]},
+        {"assign": "indep", "subs": [("fixed", 1, 1)]},
+        {"assign": "indep", "subs": [("fixed", 2, 2)]},
+        {"assign": "indep", "subs": [("fixed", 3)]},
+        {"assign": "indep", "subs": [("fixed", 4)]},
+        {"assign": "indep", "subs": [("constant",)]},
+        {"assign": "indep", "subs": [("verbatim",)]},
+    ]
+    out = decode_flac(flac_encode(8000, mono, specs, blk))
+    assert out is not None and np.array_equal(out, mono)
+
+    # stereo: all three decorrelation modes + LPC orders 1/2/3
+    n = 3 * blk
+    lft = np.clip(np.cumsum(rng.randint(-60, 61, size=n)), -20000, 20000)
+    rgt = np.clip(np.cumsum(rng.randint(-60, 61, size=n)), -20000, 20000)
+    st = np.stack([lft, rgt], axis=1).astype(np.int16)
+    st_specs = [
+        {"assign": "ls", "subs": [("lpc", [3, -2], 1, 6), ("fixed", 2)]},
+        {"assign": "ms", "subs": [("lpc", [1], 0, 4), ("fixed", 1)]},
+        {"assign": "rs", "subs": [("fixed", 2),
+                                  ("lpc", [2, -2, 1], 1, 6)]},
+    ]
+    out = decode_flac(flac_encode(44100, st, st_specs, blk))
+    assert out is not None and np.array_equal(out, st)
+
+    # wasted bits + escape-to-raw residuals
+    w = (((np.arange(blk, dtype=np.int64) * 13) % 400) - 200) * 8
+    wv = w.astype(np.int16).reshape(-1, 1)
+    out = decode_flac(
+        flac_encode(
+            16000, wv,
+            [{"assign": "indep",
+              "subs": [("wasted", 3, ("fixed", 2, 0, 13))]}],
+            blk,
+        )
+    )
+    assert out is not None and np.array_equal(out, wv)
+
+    # corruption refusal: frame-body bit flip (CRC-16), header bit
+    # flip (CRC-8), truncation, metadata-only stream
+    good = flac_encode(
+        8000, mono[:blk], [{"assign": "indep", "subs": [("fixed", 2)]}], blk
+    )
+    body_bad = bytearray(good)
+    body_bad[-3] ^= 0x10
+    assert decode_flac(bytes(body_bad)) is None
+    hdr_bad = bytearray(good)
+    hdr_bad[46] ^= 0x04  # frame-number byte inside the frame header
+    assert decode_flac(bytes(hdr_bad)) is None
+    assert decode_flac(good[: len(good) - 7]) is None
+    assert decode_flac(flac_streaminfo(48000, 2, 16, 480000)) is None
+    assert decode_flac(b"fLaC") is None
+    assert decode_flac(b"not flac at all") is None
+
+
 # -- catalog ----------------------------------------------------------- #
 
 def test_catalog_snapshots_and_diff(spark, tmp_path):

@@ -14,9 +14,12 @@ headers in pure Python — no codec library. REAL parses:
         trak/tkhd 16.16 fixed-point canvas)
 
 SAMPLE decoding is real for WAV PCM16 (``decode_pcm`` — raw int16
-little-endian frames, NumPy view); compressed codecs (FLAC/MP3/MP4
-audio+video essence) need a decoder this container doesn't ship —
-those rows carry NULL pcm columns (an honest gap, not a stub).
+little-endian frames, NumPy view) AND for FLAC (multimodal/flac.py —
+full bitstream decode: fixed/LPC predictors, Rice residuals, stereo
+decorrelation, CRC-verified; round 5). The remaining compressed
+codecs (MP3/Vorbis/Opus/MP4 essence) need transform decoders (MDCT)
+this container doesn't ship — those rows carry NULL pcm columns (an
+honest, documented boundary, not a stub).
 """
 
 from __future__ import annotations
@@ -275,7 +278,14 @@ def decode_media(
                     continue
                 b = bytes(pay)
                 meta = parse_media_header(b)
-                pcm = decode_pcm(b) if meta[0] == "wav" else None
+                if meta[0] == "wav":
+                    pcm = decode_pcm(b)
+                elif meta[0] == "flac":
+                    from ufuzzy_spark.multimodal.flac import decode_flac
+
+                    pcm = decode_flac(b)
+                else:
+                    pcm = None
                 rows.append(
                     (
                         url,
