@@ -42,11 +42,15 @@ def wav_pcm16(rate: int, ch: int, samples: np.ndarray) -> bytes:
     )
 
 
-def flac_streaminfo(rate: int, ch: int, bits: int, total: int) -> bytes:
-    """Header-only fLaC: STREAMINFO (type 0, marked last block)."""
+def flac_streaminfo(
+    rate: int, ch: int, bits: int, total: int, block: int = 4096
+) -> bytes:
+    """Header-only fLaC: STREAMINFO (type 0, marked last block).
+    ``block`` sets min/max blocksize — encoders with real frames must
+    pass their actual blocksize (RFC 9639 requires it to match)."""
     packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
     body = (
-        struct.pack(">HH", 4096, 4096)
+        struct.pack(">HH", block, block)
         + b"\x00" * 6  # min/max frame size unknown
         + packed.to_bytes(8, "big")
         + b"\x00" * 16  # md5 of raw samples: unset
@@ -132,7 +136,7 @@ def _flac_residual(w: _BitWriter, res: list[int], order: int,
             for v in chunk:
                 w.write(v, escape_raw)
             continue
-        zz = [(v << 1) ^ (v >> 63) for v in np.asarray(chunk, dtype=np.int64).tolist()]
+        zz = [(v << 1) ^ (v >> 63) for v in chunk]  # arithmetic shift: -1/0
         k = min(range(15), key=lambda kk: sum(1 + kk + (u >> kk) for u in zz))
         w.write(k, 4)
         for u in zz:
@@ -219,7 +223,7 @@ def flac_encode(rate: int, samples: np.ndarray,
 
     total, ch = samples.shape
     assert total == len(frame_specs) * block
-    out = bytearray(flac_streaminfo(rate, ch, 16, total))
+    out = bytearray(flac_streaminfo(rate, ch, 16, total, block))
     assign_code = {"indep": ch - 1, "ls": 8, "rs": 9, "ms": 10}
     for fno, spec in enumerate(frame_specs):
         blk = samples[fno * block : (fno + 1) * block].astype(np.int64)

@@ -1621,6 +1621,29 @@ def test_remove_duplicate_lines_intra_doc_order(spark):
     ]
 
 
+def test_remove_duplicate_lines_is_total_over_degenerate_docs(spark):
+    """Empty/null lines arrays still yield a row (0, 0, ''); a null
+    ELEMENT is an empty line — kept, never counted as removed."""
+    from ufuzzy_spark.operators.linededup import remove_duplicate_lines
+
+    rows = [
+        (0, []),
+        (1, None),
+        (2, ["ok", None]),
+        (3, ["one two three four five six", None]),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+        for r in remove_duplicate_lines(d).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # total: one row per input doc
+    assert got[0] == (0, 0, "")
+    assert got[1] == (0, 0, "")
+    assert got[2] == (2, 0, "ok\n")
+    assert got[3] == (2, 0, "one two three four five six\n")
+
+
 def test_scrub_pii_classes_and_order_contract(spark):
     import hashlib
 
@@ -1661,6 +1684,10 @@ def test_canonical_url_folds_equivalents(spark):
         (3, "https://example.com"),
         (4, "not a url at all"),
         (5, "http://example.com:8080/x"),  # non-default port preserved
+        (6, "http://example.com/page#sec?note=1"),  # '?' inside fragment
+        (7, "http://a.com/p?fbclid"),  # bare (valueless) tracking key
+        (8, "http://a.com/p?utm_source&b=1"),
+        (9, "http://a.com/p?refx=1&ref"),  # 'ref' exact, 'refx' kept
     ]
     d = spark.createDataFrame(rows, "doc_id long, url string")
     got = {
@@ -1672,6 +1699,12 @@ def test_canonical_url_folds_equivalents(spark):
     assert got[2] == got[3] == ("https://example.com/", "example.com")
     assert got[4] == ("not a url at all", "")
     assert got[5] == ("http://example.com:8080/x", "example.com:8080")
+    # the fragment is stripped BEFORE query extraction: no phantom
+    # query from '?' inside '#...'
+    assert got[6] == ("http://example.com/page", "example.com")
+    assert got[7] == ("http://a.com/p", "a.com")
+    assert got[8] == ("http://a.com/p?b=1", "a.com")
+    assert got[9] == ("http://a.com/p?refx=1", "a.com")
 
 
 def test_pii_and_urlnorm_are_shuffle_free(spark):

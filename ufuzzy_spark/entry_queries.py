@@ -1681,9 +1681,10 @@ _URL_PLANT_SQL = """
           WHEN 1 THEN 'https://Example' || (doc_id % 7)::VARCHAR
                       || '.COM:443/a/b/' || doc_id::VARCHAR || '?a=1&b=2'
           WHEN 2 THEN 'http://example' || (doc_id % 7)::VARCHAR
-                      || '.com/a/b/' || doc_id::VARCHAR || '/'
+                      || '.com/a/b/' || doc_id::VARCHAR || '/#v?x=9'
           WHEN 3 THEN 'https://www.example' || (doc_id % 7)::VARCHAR
-                      || '.com/search?q=x+y&utm_campaign=z&gclid=abc&ref=home'
+                      || '.com/search?q=x+y&utm_campaign=z&gclid=abc'
+                      || '&ref=home&fbclid'
           ELSE 'not a url ' || doc_id::VARCHAR
         END AS url
         FROM documents
@@ -1701,7 +1702,8 @@ _URL_CANON_SQL = """
           regexp_replace(regexp_extract(url,
               '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
               '/{2,}', '/', 'g') AS p0,
-          regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+          regexp_extract(regexp_replace(url, '#.*', ''),
+                         '\\?(.*)', 1) AS rawq
         FROM planted
     ),
     norm AS (
@@ -1715,7 +1717,7 @@ _URL_CANON_SQL = """
           coalesce(array_to_string(list_sort(list_filter(
               regexp_split_to_array(rawq, '&'),
               x -> x != '' AND NOT regexp_matches(x,
-                  '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS q
+                  '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&'), '') AS q
         FROM parts
     )
     SELECT doc_id,
@@ -1762,14 +1764,17 @@ def q_url_canonicalize(spark, sf_dir):
             m == 2,
             F.concat(
                 F.lit("http://example"), k, F.lit(".com/a/b/"), did,
-                F.lit("/"),
+                F.lit("/#v?x=9"),
             ),
         )
         .when(
             m == 3,
             F.concat(
                 F.lit("https://www.example"), k,
-                F.lit(".com/search?q=x+y&utm_campaign=z&gclid=abc&ref=home"),
+                F.lit(
+                    ".com/search?q=x+y&utm_campaign=z&gclid=abc"
+                    "&ref=home&fbclid"
+                ),
             ),
         )
         .otherwise(F.concat(F.lit("not a url "), did))

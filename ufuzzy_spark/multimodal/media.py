@@ -38,6 +38,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ufuzzy_spark.multimodal.flac import decode_flac
+
 MEDIA_META_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -49,7 +51,7 @@ MEDIA_META_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_bytes", IntegerType()),
         StructField("content_sha1", StringType()),
-        StructField("pcm_n_samples", LongType()),  # frames; WAV PCM16 only
+        StructField("pcm_n_samples", LongType()),  # frames; WAV PCM16 + FLAC
         StructField("pcm_peak", IntegerType()),  # max |amplitude|; ditto
     ]
 )
@@ -281,8 +283,6 @@ def decode_media(
                 if meta[0] == "wav":
                     pcm = decode_pcm(b)
                 elif meta[0] == "flac":
-                    from ufuzzy_spark.multimodal.flac import decode_flac
-
                     pcm = decode_flac(b)
                 else:
                     pcm = None

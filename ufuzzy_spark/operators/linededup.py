@@ -55,13 +55,32 @@ def remove_duplicate_lines(
     engine-portable. Lines shorter than ``min_tokens`` are always
     kept (short fragments collide by chance, not by boilerplate).
 
-    Returns one row per input doc that has >= 1 line:
-    ``(id, n_lines, n_removed, clean_text)`` where ``clean_text``
-    joins the kept lines with ``\\n`` in original order.
+    Total over its input: every doc yields exactly one output row.
+    Null/empty ``lines`` arrays give ``(0, 0, "")``; a null ELEMENT
+    is treated as an empty line (always kept, renders as ``""``).
+
+    Returns ``(id, n_lines, n_removed, clean_text)`` where
+    ``clean_text`` joins the kept lines with ``\\n`` in original
+    order.
     """
-    inst = df.select(
-        id_col, F.posexplode(lines_col).alias("pos", "line")
-    ).withColumn("elig", _word_count(F.col("line")) >= min_tokens)
+    # posexplode_outer keeps empty/null-array docs as a (null, null)
+    # marker row so they survive to the per-doc aggregate
+    inst = (
+        df.select(
+            id_col, F.posexplode_outer(lines_col).alias("pos", "line")
+        )
+        .withColumn(
+            "line",
+            F.when(
+                F.col("pos").isNotNull(), F.coalesce("line", F.lit(""))
+            ),
+        )
+        .withColumn(
+            "elig",
+            F.col("pos").isNotNull()
+            & (_word_count(F.col("line")) >= min_tokens),
+        )
+    )
 
     # 64-bit content key: the shuffle moves 8-byte keys, not page-
     # sized strings; a cross-line collision needs ~2^32 distinct
@@ -76,17 +95,22 @@ def remove_duplicate_lines(
         inst.join(first, F.xxhash64(inst["line"]) == first["lh"], "left")
         .withColumn(
             "keep",
-            ~F.col("elig")
-            | (
-                (F.col("first")[id_col] == F.col(id_col))
-                & (F.col("first.pos") == F.col("pos"))
+            F.col("pos").isNotNull()
+            & (
+                ~F.col("elig")
+                | (
+                    (F.col("first")[id_col] == F.col(id_col))
+                    & (F.col("first.pos") == F.col("pos"))
+                )
             ),
         )
     )
 
     return marked.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        F.count("pos").cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("pos").isNotNull() & ~F.col("keep"), 1).otherwise(0)
+        )
         .cast("long")
         .alias("n_removed"),
         F.array_join(

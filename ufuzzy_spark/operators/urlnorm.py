@@ -34,8 +34,13 @@ from pyspark.sql import functions as F
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
-TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+# applied AFTER the fragment is stripped — a '?' inside a fragment
+# ('/page#sec?note=1') is fragment text, not a query string
+QUERY_RE = r"\?(.*)"
+FRAGMENT_RE = r"#.*"
+# (=|$): bare tracking keys ('?fbclid', shared-link '?utm_source')
+# are dropped too, not just key=value forms
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def canonical_host(url: Column) -> Column:
@@ -67,9 +72,10 @@ def canonical_url(url: Column) -> Column:
     ).otherwise(p0)
     path = F.when(p1 == "", F.lit("/")).otherwise(p1)
 
+    nofrag = F.regexp_replace(url, FRAGMENT_RE, "")
     params = F.array_sort(
         F.filter(
-            F.split(F.regexp_extract(url, QUERY_RE, 1), "&"),
+            F.split(F.regexp_extract(nofrag, QUERY_RE, 1), "&"),
             lambda x: (x != F.lit("")) & ~x.rlike(TRACKING_RE),
         )
     )
