@@ -963,8 +963,10 @@ def q_suffix_array_pairs(spark, sf_dir):
 # 8. dup clusters — LSH cands -> jaccard verify -> connected comps
 # ---------------------------------------------------------------- #
 
-_CLUSTERS_SQL = f"""
-    WITH RECURSIVE jac AS MATERIALIZED ({_JACCARD_SQL}),
+# shared CTE chain: LSH/Jaccard edges + exact-hash edges -> recursive
+# closure -> per-doc cluster id. Used by dup_clusters AND the
+# corpus_funnel capstone below.
+_CC_CTES = f"""jac AS MATERIALIZED ({_JACCARD_SQL}),
     edges AS MATERIALIZED (
         SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7
         UNION
@@ -984,11 +986,17 @@ _CLUSTERS_SQL = f"""
         SELECT a, b FROM sym
         UNION
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    )
-    SELECT d.doc_id,
-           least(d.doc_id, COALESCE(min(r.b), d.doc_id)) AS cluster_id
-    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-    GROUP BY d.doc_id
+    ),
+    cc_clusters AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(min(r.b), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    )"""
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, cluster_id FROM cc_clusters
 """
 
 
@@ -1781,6 +1789,129 @@ def q_url_canonicalize(spark, sf_dir):
     )
     planted = d.select("doc_id", url.alias("url"))
     return canonicalize_urls(planted)
+
+
+# ---------------------------------------------------------------- #
+# 10a3. corpus curation funnel — the capstone composition: language
+#       keep -> quality thresholds -> repetition cut -> exact dedup
+#       -> near-dup representatives, with per-stage survivor counts
+#       (the shape of a real training-data curation run).
+# ---------------------------------------------------------------- #
+
+_FUNNEL_LANGS = ("en", "de", "fr")
+_FUNNEL_MIN_CHARS = 150
+_FUNNEL_MIN_TOKS = 25
+_FUNNEL_MAX_REP2 = 0.05
+
+_FUNNEL_SQL = f"""
+    WITH RECURSIVE {_CC_CTES},
+    funnel_toks AS (
+        SELECT doc_id, lang, n_chars,
+               {TOKENS_SQL.format(norm=NORM_SQL)} AS t,
+               md5({NORM_SQL}) AS m
+        FROM documents
+    ),
+    enriched AS (
+        SELECT doc_id, lang, n_chars, m, len(t) AS ntok,
+               CASE WHEN len(t) - 1 > 0 THEN
+                   round(1 - len(list_distinct(list_transform(
+                       range(1, len(t)),
+                       i -> array_to_string(t[i:i+1], ' '))))::DOUBLE
+                       / (len(t) - 1), 6)
+               ELSE 0.0 END AS rep2
+        FROM funnel_toks
+    ),
+    s2 AS (SELECT * FROM enriched
+           WHERE lang IN ('en', 'de', 'fr')),
+    s3 AS (SELECT * FROM s2
+           WHERE n_chars >= {_FUNNEL_MIN_CHARS}
+             AND ntok >= {_FUNNEL_MIN_TOKS}),
+    s4 AS (SELECT * FROM s3 WHERE rep2 <= {_FUNNEL_MAX_REP2}),
+    s5 AS (
+        SELECT s4.doc_id FROM s4
+        JOIN (SELECT m, min(doc_id) AS keep FROM s4 GROUP BY m) k
+          ON s4.m = k.m AND s4.doc_id = k.keep
+    )
+    SELECT stage::INT AS stage, name, docs FROM (
+        SELECT 1 AS stage, 'total' AS name,
+               count(*)::BIGINT AS docs FROM enriched
+        UNION ALL SELECT 2, 'lang_keep', count(*)::BIGINT FROM s2
+        UNION ALL SELECT 3, 'quality_keep', count(*)::BIGINT FROM s3
+        UNION ALL SELECT 4, 'repetition_keep', count(*)::BIGINT FROM s4
+        UNION ALL SELECT 5, 'exact_unique', count(*)::BIGINT FROM s5
+        UNION ALL SELECT 6, 'near_dup_reps',
+               count(DISTINCT c.cluster_id)::BIGINT
+               FROM s5 JOIN cc_clusters c ON s5.doc_id = c.doc_id
+    )
+"""
+
+
+@register("corpus_funnel", _FUNNEL_SQL)
+def q_corpus_funnel(spark, sf_dir):
+    """End-to-end curation funnel: per-stage survivor counts for
+    language keep -> quality thresholds (chars + tokens) ->
+    Gopher repetition cut -> exact dedup -> near-dup cluster
+    representatives.
+
+    Plan shape: ONE conditional aggregation over the corpus joined to
+    the cluster table — the nested filters become boolean sums, exact
+    dedup becomes countDistinct over a guarded md5, and near-dup reps
+    become countDistinct over a guarded cluster_id (identical-text
+    docs always share a cluster via the exact-hash edges, so distinct
+    clusters over the repetition survivors equal distinct clusters
+    over the exact-unique set). At 100 TB the funnel costs one scan
+    plus the cluster join — no per-stage passes."""
+    from ufuzzy_spark.operators.textstats import dup_ngram_frac
+
+    d = _docs(spark, sf_dir)
+    n = norm_col()
+    t = tokens_expr(n)
+    enriched = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(t).alias("ntok"),
+        dup_ngram_frac(t, 2).alias("rep2"),
+        F.md5(n).alias("m"),
+    )
+    clusters = q_dup_clusters(spark, sf_dir)
+    keep2 = F.col("lang").isin(*_FUNNEL_LANGS)
+    keep3 = (
+        keep2
+        & (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+        & (F.col("ntok") >= _FUNNEL_MIN_TOKS)
+    )
+    keep4 = keep3 & (F.col("rep2") <= _FUNNEL_MAX_REP2)
+    agg = enriched.join(clusters, "doc_id").agg(
+        F.count("*").cast("long").alias("c1"),
+        F.sum(keep2.cast("int")).cast("long").alias("c2"),
+        F.sum(keep3.cast("int")).cast("long").alias("c3"),
+        F.sum(keep4.cast("int")).cast("long").alias("c4"),
+        F.countDistinct(F.when(keep4, F.col("m")))
+        .cast("long")
+        .alias("c5"),
+        F.countDistinct(F.when(keep4, F.col("cluster_id")))
+        .cast("long")
+        .alias("c6"),
+    )
+    names = [
+        "total", "lang_keep", "quality_keep", "repetition_keep",
+        "exact_unique", "near_dup_reps",
+    ]
+    return agg.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("int").alias("stage"),
+                        F.lit(nm).alias("name"),
+                        F.col(f"c{i + 1}").alias("docs"),
+                    )
+                    for i, nm in enumerate(names)
+                ]
+            )
+        )
+    )
 
 
 # ---------------------------------------------------------------- #
