@@ -590,18 +590,79 @@ def q_exact_dedup(spark, sf_dir):
 # 5. minhash signatures (md5-parity family; SURVEY §2 #13 analog)
 # ---------------------------------------------------------------- #
 
+# Session-scoped shared chain frames (OPTIMIZATION_r06; VERDICT r5
+# next #2). The md5-parity chain (shingles -> minhash -> bands ->
+# cands -> jaccard -> clusters) feeds seven queries; before r06 each
+# consumer rebuilt it from the raw scan, so the suite recomputed the
+# chain ~7x (and the chain's joins dominated the sf1.0 wall: 19.5M
+# candidate pairs). Frames are persisted ONCE per (applicationId,
+# sf_dir) and reused. This is NOT cross-run caching: the memo key is
+# the live Spark applicationId, nothing is written outside the
+# session, and every fresh bench/oracle process recomputes everything
+# from the parquet inputs — the persist just stops one session from
+# re-deriving the identical frame per consumer (guide §5 "caching is
+# worth it when a DataFrame is reused").
+_SHARED: dict = {}
+
+
+def _shared(spark, sf_dir: str, key: str, builder):
+    """Build-once-per-session persisted frame; returns (df, n_rows)."""
+    from pyspark import StorageLevel
+
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    hit = _SHARED.get(k)
+    if hit is None:
+        df = builder().persist(StorageLevel.MEMORY_AND_DISK)
+        # force NOW: consumers read these frames through concurrent
+        # subplans, and tasks racing an unpopulated persist recompute
+        # the chain (the pipeline.py:100-106 failure mode)
+        n = df.count()
+        hit = (df, n)
+        _SHARED[k] = hit
+    return hit
+
+
+# Guarded broadcast (the incremental.py `_maybe_broadcast` rule: never
+# bare-broadcast a data-dependent frame). Per-doc profile frames are
+# ~1.5 KB/doc, so 500k rows stays well under the 8 GB broadcast cap;
+# beyond it callers fall back to the skinny-row posting-join shape.
+_BCAST_MAX_ROWS = 500_000
+
+
+def _bcast_if_small(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BCAST_MAX_ROWS else df
+
+
+# per-doc DISTINCT shingle set as an array: explode + global DISTINCT
+# collapses to array_distinct because shingles are dedup'd WITHIN a
+# doc_id — same set, zero shuffles (guide §2.4).
+_SH_EXPR = (
+    f"array_distinct(transform("
+    f"sequence(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),"
+    f" i -> substring(norm, i, {SHINGLE_K})))"
+)
+
+
+def _sharr(spark, sf_dir):
+    """Shared (doc_id, sh: array<string>) — per-doc distinct shingles."""
+
+    def build():
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id", norm_col().alias("norm"))
+            .select("doc_id", F.expr(_SH_EXPR).alias("sh"))
+        )
+
+    return _shared(spark, sf_dir, "sharr", build)
+
+
 def _shingles_df(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) distinct char-K-grams of normalized text."""
-    d = _docs(spark, sf_dir)
-    sh = F.expr(
-        f"transform(sequence(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),"
-        f" i -> substring(norm, i, {SHINGLE_K}))"
-    )
-    return (
-        d.select("doc_id", norm_col().alias("norm"))
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    """(doc_id, shingle) distinct char-K-grams of normalized text.
+
+    Skinny-row view of the shared per-doc arrays: rows are already
+    distinct (arrays are per-doc distinct), so no shuffle remains."""
+    arrs, _ = _sharr(spark, sf_dir)
+    return arrs.select("doc_id", F.explode("sh").alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
@@ -625,19 +686,40 @@ _MINHASH_SQL = f"""
 """
 
 
+# per-doc minhash vector: min over the doc's shingle set of
+# h60(seed || '|' || shingle) for each seed — the groupBy(doc_id,
+# seed).min collapses to array_min per doc (min over duplicates ==
+# min over the distinct set), removing the seeds crossJoin (4x row
+# fanout) and the 60M-row aggregation shuffle at sf1.0 (guide §2.3
+# "aggregate before you shuffle" taken to its limit: no shuffle).
+_MH_EXPR = (
+    f"transform(sequence(0, {N_SEEDS - 1}), seed -> "
+    "array_min(transform(sh, s -> cast(conv(substr(md5("
+    "concat(cast(seed as string), '|', s)), 1, 15), 16, 10) as bigint))))"
+)
+
+
+def _mharr(spark, sf_dir):
+    """Shared (doc_id, mhs: array<long>[N_SEEDS]) minhash vectors."""
+
+    def build():
+        arrs, _ = _sharr(spark, sf_dir)
+        return arrs.select("doc_id", F.expr(_MH_EXPR).alias("mhs"))
+
+    return _shared(spark, sf_dir, "mharr", build)
+
+
 def _minhash_df(spark, sf_dir) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
-    seeds = spark.range(N_SEEDS).select(F.col("id").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            h60(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    mh, _ = _mharr(spark, sf_dir)
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_SEEDS - 1}), i -> "
+                "struct(cast(i as bigint) as seed, mhs[i] as minhash))"
+            )
+        ).alias("sm"),
+    ).select("doc_id", "sm.seed", "sm.minhash")
 
 
 @register("minhash_signature", _MINHASH_SQL)
@@ -666,41 +748,48 @@ _CANDS_SQL = f"""
 
 
 def _bands_df(spark, sf_dir) -> DataFrame:
-    mh = _minhash_df(spark, sf_dir)
-    return (
-        mh.withColumn("band_id", F.expr("seed div 2").cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            h60(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
-        )
+    # per-doc band hashes straight off the minhash vector: the old
+    # groupBy(doc_id, band_id) + sorted collect_list re-assembled
+    # "mhs[2b],mhs[2b+1]" through a shuffle; the same string is a
+    # narrow projection of the shared mhs array (guide §2.4)
+    mh, _ = _mharr(spark, sf_dir)
+    bands = F.expr(
+        f"transform(sequence(0, {N_SEEDS // 2 - 1}), b -> struct("
+        "cast(b as bigint) as band_id, "
+        "cast(conv(substr(md5(concat(cast(mhs[2*b] as string), ',', "
+        "cast(mhs[2*b+1] as string))), 1, 15), 16, 10) as bigint)"
+        " as band_hash))"
     )
+    return mh.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+
+
+def _cands(spark, sf_dir):
+    """Shared distinct LSH candidate pairs (id_a, id_b)."""
+
+    def build():
+        bands = _bands_df(spark, sf_dir)
+        a = bands.select(
+            F.col("doc_id").alias("id_a"), "band_id", "band_hash"
+        )
+        b = bands.select(
+            F.col("doc_id").alias("id_b"), "band_id", "band_hash"
+        )
+        return (
+            a.join(b, ["band_id", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    return _shared(spark, sf_dir, "cands", build)
 
 
 @register("lsh_candidate_pairs", _CANDS_SQL)
 def q_lsh_candidate_pairs(spark, sf_dir):
-    bands = _bands_df(spark, sf_dir)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band_id", "band_hash"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), "band_id", "band_hash"
-    )
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands, _ = _cands(spark, sf_dir)
+    return cands
 
 
 # ---------------------------------------------------------------- #
@@ -730,7 +819,46 @@ _JACCARD_SQL = f"""
 
 @register("ngram_jaccard", _JACCARD_SQL)
 def q_ngram_jaccard(spark, sf_dir):
-    cands = q_lsh_candidate_pairs(spark, sf_dir)
+    """Exact pairwise shingle Jaccard over the candidate pairs.
+
+    Small/medium corpora (<= _BCAST_MAX_ROWS docs): broadcast the
+    per-doc shingle arrays to both sides of the pair table and compute
+    |A ∩ B| with array_intersect in one codegen stage — the pre-r06
+    shape expanded cands x shingles(id_a) (19.5M x ~300 = 5.8e9 rows
+    at sf1.0) and shuffled that by (id_b, shingle) before a pair-key
+    aggregation; here the pair table is never shuffled at all (guide
+    §8: decide with small rows — attach the per-doc payload via
+    broadcast so the join cannot sneak the shuffle back in). Larger
+    corpora fall back to the skinny posting-join shape."""
+    cands, _ = _cands(spark, sf_dir)
+    arrs, n_docs = _sharr(spark, sf_dir)
+    if n_docs <= _BCAST_MAX_ROWS:
+        a = F.broadcast(
+            arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+        )
+        b = F.broadcast(
+            arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+        )
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("i", F.size(F.array_intersect("sha", "shb")))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("i").cast("double")
+                    / (F.size("sha") + F.size("shb") - F.col("i")),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+    return _jaccard_posting_join(spark, sf_dir, cands)
+
+
+def _jaccard_posting_join(spark, sf_dir, cands) -> DataFrame:
+    """Posting-join Jaccard — the >500k-doc shape: only skinny
+    (pair_key, shingle) rows are shuffled, never doc payloads."""
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -804,52 +932,65 @@ def q_verify_pairs_native(spark, sf_dir):
     (uFuzzy.mjs:342-359), so verification is θ-fraction substring
     containment — JVM codegen end-to-end. The pandas-UDF verifier in
     operators/verify.py covers the fuzzy configs."""
-    cands = q_lsh_candidate_pairs(spark, sf_dir)
+    cands, _ = _cands(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", norm_col().alias("norm"))
 
-    terms = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.filter(
-                    F.split(F.substring("norm", 1, _VWIN), TOKEN_SPLIT),
-                    lambda t: F.length(t) >= 2,
-                )
-            ).alias("term"),
-        )
-        .distinct()
+    # per-doc profile: distinct window terms as an array + the scan
+    # window. The pre-r06 shape exploded terms, joined cands twice per
+    # side and aggregated by pair key (4 pair-fanout shuffles at 19.5M
+    # pairs x ~30 terms); attaching the profile via guarded broadcast
+    # computes both hit counts in one codegen stage with the pair
+    # table never shuffled (guide §8 / §2.3). A pair appears iff both
+    # sides have >= 1 term — the inner terms-join semantics.
+    prof = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.substring("norm", 1, _VWIN), TOKEN_SPLIT),
+                lambda t: F.length(t) >= 2,
+            )
+        ).alias("terms"),
+        F.substring("norm", 1, _VSCAN).alias("scan"),
     )
-    scans = d.select("doc_id", F.substring("norm", 1, _VSCAN).alias("scan"))
-
-    def side(cands, term_side, scan_side, hit_name, n_name):
-        return (
-            cands.join(
-                terms.withColumnRenamed("doc_id", term_side), term_side
-            )
-            .join(
-                scans.select(
-                    F.col("doc_id").alias(scan_side), F.col("scan")
-                ),
-                scan_side,
-            )
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.count("*").alias(n_name),
-                F.sum(
-                    F.when(F.instr(F.col("scan"), F.col("term")) > 0, 1)
-                    .otherwise(0)
-                ).alias(hit_name),
-            )
-        )
-
-    m_a = side(cands, "id_a", "id_b", "hit_a", "n_a")
-    m_b = side(cands, "id_b", "id_a", "hit_b", "n_b")
+    _, n_docs = _sharr(spark, sf_dir)
+    pa = _bcast_if_small(
+        prof.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("terms").alias("terms_a"),
+            F.col("scan").alias("scan_a"),
+        ),
+        n_docs,
+    )
+    pb = _bcast_if_small(
+        prof.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("terms").alias("terms_b"),
+            F.col("scan").alias("scan_b"),
+        ),
+        n_docs,
+    )
+    hit_a = F.size(
+        F.filter("terms_a", lambda t: F.instr(F.col("scan_b"), t) > 0)
+    )
+    hit_b = F.size(
+        F.filter("terms_b", lambda t: F.instr(F.col("scan_a"), t) > 0)
+    )
     score = 0.5 * (
         F.col("hit_a").cast("double") / F.col("n_a")
         + F.col("hit_b").cast("double") / F.col("n_b")
     )
     return (
-        m_a.join(m_b, ["id_a", "id_b"])
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
+        .where((F.size("terms_a") > 0) & (F.size("terms_b") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.size("terms_a").alias("n_a"),
+            F.size("terms_b").alias("n_b"),
+            hit_a.alias("hit_a"),
+            hit_b.alias("hit_b"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -882,26 +1023,41 @@ def q_exact_substring_pairs(spark, sf_dir):
     explosion — the oracle for the winnowing pass, which samples ~2/w
     of these grams with a deterministic >= k+w-1 guarantee
     (operators/substring.py)."""
+    # One grouped pass instead of distinct + self-join: the old shape
+    # shuffled the ~15M (doc_id, 64-char gram) rows three times at
+    # sf1.0 (distinct, then both sides of the join re-partitioned by
+    # gram). Grouping by gram and expanding doc pairs inside the group
+    # shuffles the gram rows ONCE (collect_set dedups in-group, so the
+    # pre-join distinct is free), then only the skinny pairs flow to
+    # the final distinct (guide §2.3/§2.4).
     d = _docs(spark, sf_dir).select("doc_id", norm_col().alias("norm"))
-    grams = (
-        d.where(F.length("norm") >= _SUBSTR_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(norm) - {_SUBSTR_K - 1}, 1)),"
-                    f" i -> substring(norm, i, {_SUBSTR_K}))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+    grams = d.where(F.length("norm") >= _SUBSTR_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(norm) - {_SUBSTR_K - 1}, 1)),"
+                f" i -> substring(norm, i, {_SUBSTR_K}))"
+            )
+        ).alias("gram"),
     )
-    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    groups = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pair_expr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -1000,32 +1156,46 @@ _CLUSTERS_SQL = f"""
 """
 
 
+def _clusters(spark, sf_dir):
+    """Shared (doc_id, cluster_id) — LSH/Jaccard + exact-dup CC."""
+
+    def build():
+        from ufuzzy_spark.operators.components import connected_components
+
+        jac = q_ngram_jaccard(spark, sf_dir)
+        near_edges = jac.where("jaccard >= 0.7").select("id_a", "id_b")
+        d = _docs(spark, sf_dir)
+        # star-edge election (VERDICT r5 next #1): the old md5
+        # self-join emitted K(K-1)/2 clique edges per identical-text
+        # group — quadratic poison for boilerplate mega-groups at
+        # scale. One window over the content hash emits K-1 star edges
+        # instead (the operators/dedup.py pattern); connected
+        # components, and therefore the oracle hash, are invariant to
+        # clique-vs-star edge shape.
+        w = Window.partitionBy(F.md5("text"))
+        exact_edges = (
+            d.select("doc_id", F.min("doc_id").over(w).alias("rep"))
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+        )
+        edges = near_edges.unionByName(exact_edges).distinct()
+        cc = connected_components(
+            edges.select(
+                F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
+            ),
+            all_nodes=d.select(F.col("doc_id").alias("url")),
+        )
+        return cc.select(F.col("url").alias("doc_id"), F.col("cluster_id"))
+
+    return _shared(spark, sf_dir, "clusters", build)
+
+
 @register("dup_clusters", _CLUSTERS_SQL)
 def q_dup_clusters(spark, sf_dir):
-    from ufuzzy_spark.operators.components import connected_components
-
-    jac = q_ngram_jaccard(spark, sf_dir)
-    near_edges = jac.where("jaccard >= 0.7").select("id_a", "id_b")
-    d = _docs(spark, sf_dir)
-    exact_edges = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.md5(F.col("a.text")) == F.md5(F.col("b.text")))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
-    edges = near_edges.unionByName(exact_edges).distinct()
-    cc = connected_components(
-        edges.select(
-            F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
-        ),
-        all_nodes=d.select(F.col("doc_id").alias("url")),
-    )
-    return cc.select(
-        F.col("url").alias("doc_id"), F.col("cluster_id")
-    )
+    clusters, _ = _clusters(spark, sf_dir)
+    return clusters
 
 
 # ---------------------------------------------------------------- #
@@ -1119,13 +1289,26 @@ def q_pair_features(spark, sf_dir):
     from ufuzzy_spark.config import PipelineConfig
     from ufuzzy_spark.operators.pair_features import pair_features
 
-    cands = q_lsh_candidate_pairs(spark, sf_dir).select(
+    cands_df, _ = _cands(spark, sf_dir)
+    cands = cands_df.select(
         F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
     )
     normed = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("url"), norm_col().alias("norm_text")
     )
-    feats = pair_features(cands, normed, PipelineConfig(), needle_terms=1)
+    # broadcast the per-doc window texts (guarded): the pair table is
+    # ~400x the corpus at sf1.0 (19.5M pairs / 50k docs), so the old
+    # sort-merge text joins shuffled the pair table twice — the second
+    # time carrying a 1 KB window per row (guide §8: attach payloads
+    # without re-shuffling the big side)
+    _, n_docs = _sharr(spark, sf_dir)
+    feats = pair_features(
+        cands,
+        normed,
+        PipelineConfig(),
+        needle_terms=1,
+        broadcast_texts=n_docs <= _BCAST_MAX_ROWS,
+    )
     return feats.select(
         F.col("url_a").alias("id_a"),
         F.col("url_b").alias("id_b"),

@@ -141,13 +141,24 @@ def pair_features(
     normed: DataFrame,
     pcfg: PipelineConfig | None = None,
     needle_terms: int = 5,
+    broadcast_texts: bool = False,
 ) -> DataFrame:
-    """(url_a, url_b) x normed -> full Info-counter features per pair."""
+    """(url_a, url_b) x normed -> full Info-counter features per pair.
+
+    ``broadcast_texts``: callers that KNOW the corpus side is small
+    (e.g. the entry queries, where the pair table is orders of
+    magnitude larger than the doc table) can broadcast the window
+    texts so the pair table is never shuffled by the two attach joins.
+    Off by default — ``normed`` is data-dependent and production
+    callers must opt in deliberately.
+    """
     pcfg = pcfg or PipelineConfig()
     win = 2 * pcfg.verify_window_chars
     texts = normed.select(
         "url", F.substring("norm_text", 1, win).alias("norm_win")
     )
+    if broadcast_texts:
+        texts = F.broadcast(texts)
     joined = (
         pairs.join(
             texts.select(
