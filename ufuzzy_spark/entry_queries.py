@@ -36,11 +36,32 @@ STOPWORDS = "the a an and of to in is on for with as by at or".split()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The driver testdata tables are SINGLE-row-group parquet files, so
+    # the raw scan is one task at every scale factor and every narrow
+    # per-doc expression (normalize/translate, shingle+minhash md5s,
+    # regex scans, repetition metrics) serializes onto one core —
+    # measured as the dominant wall of corpus_funnel (122 s at sf1.0)
+    # and the chain build (57 s). One cheap up-front shuffle of the
+    # pruned columns (~15 MB of text at sf1.0) buys full-width
+    # parallelism for everything downstream — the pipeline.py in_scope
+    # pattern (guide §2.5 "input skew: one huge unsplittable file ...
+    # repartition immediately after the read"). Hash on doc_id keeps
+    # the split deterministic (guide §2.5: never rand()-derived);
+    # width follows defaultParallelism, not a constant, so the same
+    # code is right on a real cluster.
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        n, "doc_id"
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # same single-row-group issue as _docs: the SRP plane projections
+    # (128 dot products per vector) otherwise run on one core
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        n, "vec_id"
+    )
 
 
 def h60(col: Column) -> Column:
@@ -1156,14 +1177,30 @@ _CLUSTERS_SQL = f"""
 """
 
 
+def _near_dup_edges(spark, sf_dir):
+    """Shared (id_a, id_b, jaccard) pairs at jaccard >= 0.7.
+
+    The filter consumes the Jaccard VALUE for every candidate pair, so
+    materializing it costs one array_intersect pass over the full pair
+    table (~64 s for 19.5M pairs at sf1.0) — shared so the suite pays
+    that pass once (dup_clusters/corpus_funnel via _clusters, and
+    resume_lineage's verified_pairs stage) instead of once per
+    consumer. Output is tiny (2.5k rows at sf1.0)."""
+
+    def build():
+        return q_ngram_jaccard(spark, sf_dir).where("jaccard >= 0.7")
+
+    return _shared(spark, sf_dir, "near_edges", build)
+
+
 def _clusters(spark, sf_dir):
     """Shared (doc_id, cluster_id) — LSH/Jaccard + exact-dup CC."""
 
     def build():
         from ufuzzy_spark.operators.components import connected_components
 
-        jac = q_ngram_jaccard(spark, sf_dir)
-        near_edges = jac.where("jaccard >= 0.7").select("id_a", "id_b")
+        near, _ = _near_dup_edges(spark, sf_dir)
+        near_edges = near.select("id_a", "id_b")
         d = _docs(spark, sf_dir)
         # star-edge election (VERDICT r5 next #1): the old md5
         # self-join emitted K(K-1)/2 clique edges per identical-text
@@ -1373,8 +1410,11 @@ def q_resume_lineage(spark, sf_dir):
                 "candidate_pairs", lambda: q_lsh_candidate_pairs(spark, sf_dir)
             )
             runner.materialize(
+                # same rows as q_ngram_jaccard(...).where(...) — the
+                # shared frame just keeps this from paying a second
+                # full-pair-table intersect pass (see _near_dup_edges)
                 "verified_pairs",
-                lambda: q_ngram_jaccard(spark, sf_dir).where("jaccard >= 0.7"),
+                lambda: _near_dup_edges(spark, sf_dir)[0],
             )
 
         stages(StageRunner(spark, tmp, "md5parity-v1", resume=True))
@@ -1761,8 +1801,14 @@ def q_line_dedup(spark, sf_dir):
     near-dup structure makes cross-doc repeats genuine."""
     from ufuzzy_spark.operators.linededup import remove_duplicate_lines
 
-    d = _docs(spark, sf_dir)
-    t = tokens_expr(norm_col())
+    # tokens hoisted into their own projection (the corpus_funnel rep2
+    # lesson): the chunking lambda slices its tokens argument per
+    # element, and a non-attribute argument is re-evaluated on every
+    # element — the inline form re-ran translate+split per chunk
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", tokens_expr(norm_col()).alias("toks")
+    )
+    t = F.col("toks")
     n_chunks = F.greatest(
         F.ceil(F.size(t) / F.lit(float(_LINE_W))).cast("int"), F.lit(1)
     )
@@ -1770,7 +1816,7 @@ def q_line_dedup(spark, sf_dir):
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(t, i * _LINE_W + 1, _LINE_W), " "),
     )
-    docs = d.select("doc_id", lines.alias("lines"))
+    docs = toked.select("doc_id", lines.alias("lines"))
     return remove_duplicate_lines(docs, min_tokens=_LINE_MIN)
 
 
@@ -2049,13 +2095,25 @@ def q_corpus_funnel(spark, sf_dir):
     d = _docs(spark, sf_dir)
     n = norm_col()
     t = tokens_expr(n)
-    enriched = d.select(
+    # two-step projection ON PURPOSE: dup_ngram_frac's transform lambda
+    # slices its tokens argument per element, and a lambda body
+    # re-evaluates a non-attribute argument on EVERY element — passing
+    # the inline split expression made rep2 cost ~112 ms/doc (measured
+    # 175 s for this projection alone at sf1.0, the old funnel's
+    # dominant wall). Hoisting tokens into their own projection makes
+    # the slice an O(1) attribute read; CollapseProject keeps the two
+    # projections apart because `toks` is a multiply-referenced
+    # non-trivial alias (guide §1.2 per-task work).
+    toked = d.select(
+        "doc_id", "lang", "n_chars", t.alias("toks"), n.alias("norm")
+    )
+    enriched = toked.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.size(t).alias("ntok"),
-        dup_ngram_frac(t, 2).alias("rep2"),
-        F.md5(n).alias("m"),
+        F.size("toks").alias("ntok"),
+        dup_ngram_frac(F.col("toks"), 2).alias("rep2"),
+        F.md5("norm").alias("m"),
     )
     clusters = q_dup_clusters(spark, sf_dir)
     keep2 = F.col("lang").isin(*_FUNNEL_LANGS)
