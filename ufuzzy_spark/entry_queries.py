@@ -2494,39 +2494,35 @@ list_transform(range({_SRP_BANDS}), b ->
 
 def _srp_buckets_df(spark, e: DataFrame) -> DataFrame:
     """(vec_id, bkt) — one row per (vector, band); bkt packs the band
-    id above the sign bits so same-band matching is implicit."""
-    planes = spark.createDataFrame(
+    id above the sign bits so same-band matching is implicit.
+
+    r06 shape: ONE crossJoin row per (vector, band) — the band's 8
+    planes ride along as array<array<double>> and the 8 sign bits fold
+    inline, so the old (vector, band, k) ×32 fanout and its
+    groupBy(vec_id, band) Exchange are gone (guide §2.3 "aggregate
+    before you shuffle" taken to zero shuffles). Float parity: the
+    per-plane dot is the same zip_with + left-fold as before (and as
+    the DuckDB oracle's list_sum), and the bit sum is integer."""
+    planes_b = spark.createDataFrame(
         [
-            (p // _SRP_BITS, p % _SRP_BITS, _SRP_PLANES[p])
-            for p in range(_SRP_BANDS * _SRP_BITS)
+            (b, [_SRP_PLANES[b * _SRP_BITS + k] for k in range(_SRP_BITS)])
+            for b in range(_SRP_BANDS)
         ],
-        "band int, k int, plane array<double>",
+        "band int, planes array<array<double>>",
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("plane"), lambda x, y: x.cast("double") * y
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    bkt = F.expr(
+        f"""
+        shiftleft(CAST(band AS BIGINT), 32) + aggregate(
+          sequence(0, {_SRP_BITS - 1}), 0L,
+          (acc, k) -> acc + IF(
+            aggregate(zip_with(embedding, planes[k],
+                               (x, y) -> CAST(x AS DOUBLE) * y),
+                      CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0,
+            shiftleft(1L, k), 0L))
+        """
     )
-    bits = e.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "band", "k", (dot > 0).alias("bit")
-    )
-    return (
-        bits.groupBy("vec_id", "band")
-        .agg(
-            F.sum(
-                F.when(F.col("bit"), F.expr("shiftleft(1L, k)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("bbits")
-        )
-        .select(
-            "vec_id",
-            (
-                F.expr("shiftleft(CAST(band AS BIGINT), 32)") + F.col("bbits")
-            ).alias("bkt"),
-        )
+    return e.crossJoin(F.broadcast(planes_b)).select(
+        "vec_id", bkt.alias("bkt")
     )
 
 _ANN_SRP_SQL = f"""
@@ -2867,8 +2863,16 @@ def q_embedding_near_dup(spark, sf_dir):
 
     from ufuzzy_spark.operators.ann import cosine_col
 
+    # attach embeddings to the pair table via guarded broadcast (r06):
+    # candidate pairs outnumber vectors by orders of magnitude inside
+    # dense SRP buckets, so the two sort-merge attach joins shuffled
+    # the pair table twice (guide §8); vectors are ~300 B/row, so the
+    # 500k guard keeps the built relation ~150 MB
+    n_embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     xe = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("xe"))
     ye = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("ye"))
+    if n_embs <= _BCAST_MAX_ROWS:
+        xe, ye = F.broadcast(xe), F.broadcast(ye)
     edges = (
         cand.join(xe, "ia")
         .join(ye, "ib")

@@ -95,12 +95,26 @@ def make_verify_udf(pcfg: PipelineConfig):
 
 
 def verify_pairs(
-    pairs: DataFrame, normed: DataFrame, pcfg: PipelineConfig | None = None
+    pairs: DataFrame,
+    normed: DataFrame,
+    pcfg: PipelineConfig | None = None,
+    broadcast_texts: bool = False,
 ) -> DataFrame:
     """(url_a, url_b) x normed(url, norm_text) -> pair_features.
 
     Returns all columns of VERIFY_SCHEMA plus the pair key; callers
     filter ``is_dup`` (discard ≙ WHERE, uFuzzy.mjs:556-558).
+
+    ``broadcast_texts``: the pair table is usually orders of magnitude
+    larger than the doc table (hundreds of candidate pairs per doc),
+    so the two attach joins otherwise shuffle the pair table twice —
+    by url_a, then again by url_b (guide §8: the attach join sneaks
+    the payload shuffle back in). Callers that have COUNTED the text
+    side and know it is small opt in; the windows are ~1 KB/row, so
+    the guard threshold lives with each caller (run_pipeline /
+    incremental use <= 500k rows). Off by default: ``normed`` is
+    data-dependent and a bare broadcast of an unbounded frame is the
+    incremental.py `_maybe_broadcast` anti-pattern.
     """
     pcfg = pcfg or PipelineConfig()
     # ship only the verification window through the shuffle
@@ -108,6 +122,8 @@ def verify_pairs(
     texts = normed.select(
         "url", F.substring("norm_text", 1, win).alias("norm_win")
     )
+    if broadcast_texts:
+        texts = F.broadcast(texts)
 
     joined = (
         pairs.join(

@@ -96,14 +96,17 @@ def run_pipeline(
         .persist()
     )
     persisted.append(normed)
-    if checkpoint_dir is None:
-        # FORCE the cache now: the verify job reads normed through
-        # THREE concurrent subplans (exact-dedup chain, verify texts
-        # x2); tasks racing past an unpopulated persist recompute the
-        # normalize+repartition of the whole corpus a nondeterministic
-        # number of times — measured as 312s..568s run-to-run variance
-        # on the 1M corpus at local[16]. One cheap count() pins it.
-        normed.count()
+    # FORCE the cache now: the verify job reads normed through THREE
+    # concurrent subplans (exact-dedup chain, verify texts x2); tasks
+    # racing past an unpopulated persist recompute the
+    # normalize+repartition of the whole corpus a nondeterministic
+    # number of times — measured as 312s..568s run-to-run variance on
+    # the 1M corpus at local[16]. One cheap count() pins it — and its
+    # value is the data-dependent guard for broadcasting the verify
+    # windows (r06: the two text-attach joins otherwise shuffle the
+    # pair table twice; windows are ~1 KB/doc, so 500k docs stays
+    # ~0.5 GB — above that the plain join is also the right plan).
+    n_normed = normed.count()
 
     # 2. exact-hash pre-dedup: strips identical-content mass before LSH
     exact_edges_l, reps_l = exact_dedup(normed)
@@ -150,7 +153,10 @@ def run_pipeline(
 
     # 5. bounded-edit verification (precision pass)
     verified = runner.materialize(
-        "verified_pairs", lambda: verify_pairs(cands, normed, pcfg)
+        "verified_pairs",
+        lambda: verify_pairs(
+            cands, normed, pcfg, broadcast_texts=n_normed <= 500_000
+        ),
     )
     if checkpoint_dir is None:
         # FORCE the cache before CC: the symmetrized edge union reads

@@ -283,6 +283,8 @@ def _batch_recompute(
             to_verify.select("url_a", "url_b", "hash_lo", "hash_hi"),
             ver_texts,
             pcfg,
+            # ver_texts is semi-join-bounded to <= 2*n_to_verify urls
+            broadcast_texts=2 * n_to_verify <= 500_000,
         ).select("hash_lo", "hash_hi", "is_dup")
     )
     verdicts_all = old_verdicts.unionByName(new_verdicts)
@@ -1015,6 +1017,8 @@ def incremental_dedup(
             to_verify.select("url_a", "url_b", "hash_lo", "hash_hi"),
             ver_texts,
             pcfg,
+            # ver_texts is semi-join-bounded to <= 2*n_to_verify urls
+            broadcast_texts=2 * n_to_verify <= 500_000,
         ).select("hash_lo", "hash_hi", "is_dup")
     )
     verdicts_all = old_verdicts.unionByName(new_verdicts)
