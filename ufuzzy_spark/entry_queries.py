@@ -851,6 +851,23 @@ def q_ngram_jaccard(spark, sf_dir):
     §8: decide with small rows — attach the per-doc payload via
     broadcast so the join cannot sneak the shuffle back in). Larger
     corpora fall back to the skinny posting-join shape."""
+    return _jaccard_df(spark, sf_dir)
+
+
+def _jaccard_df(spark, sf_dir, size_ratio_floor: float | None = None):
+    """Jaccard per candidate pair; broadcast shape when the corpus is
+    small, posting join above _BCAST_MAX_ROWS docs.
+
+    ``size_ratio_floor``: consumers that immediately filter
+    ``jaccard >= tau`` (the near-dup edge builders) pass a SAFE
+    pre-filter bound: |A∩B| <= min(|A|,|B|), so jaccard <=
+    min/max — a pair with min/max below the floor provably cannot
+    reach tau and its array_intersect (the dominant per-pair cost:
+    measured 64.5 s for the 18.9M-pair table at the 50k-doc scale)
+    is skipped by a one-comparison size check. The floor must be
+    chosen so the kept set is a superset of round(j,6) >= tau; the
+    surviving pairs' jaccard values are computed exactly as before,
+    so the >= tau edge set is IDENTICAL."""
     cands, _ = _cands(spark, sf_dir)
     arrs, n_docs = _sharr(spark, sf_dir)
     if n_docs <= _BCAST_MAX_ROWS:
@@ -860,10 +877,16 @@ def q_ngram_jaccard(spark, sf_dir):
         b = F.broadcast(
             arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
         )
+        j = cands.join(a, "id_a").join(b, "id_b")
+        if size_ratio_floor is not None:
+            # exact integer compare: keep iff min*SCALE >= floor*SCALE*max
+            num = int(round(size_ratio_floor * 2_000_000))
+            j = j.where(
+                F.least(F.size("sha"), F.size("shb")) * F.lit(2_000_000)
+                >= F.greatest(F.size("sha"), F.size("shb")) * F.lit(num)
+            )
         return (
-            cands.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn("i", F.size(F.array_intersect("sha", "shb")))
+            j.withColumn("i", F.size(F.array_intersect("sha", "shb")))
             .select(
                 "id_a",
                 "id_b",
@@ -874,6 +897,9 @@ def q_ngram_jaccard(spark, sf_dir):
                 ).alias("jaccard"),
             )
         )
+    # posting-join fallback: the skinny shuffle already dominates and
+    # the floor is implied by the downstream jaccard filter — nothing
+    # to prune early there
     return _jaccard_posting_join(spark, sf_dir, cands)
 
 
@@ -1188,7 +1214,12 @@ def _near_dup_edges(spark, sf_dir):
     consumer. Output is tiny (2.5k rows at sf1.0)."""
 
     def build():
-        return q_ngram_jaccard(spark, sf_dir).where("jaccard >= 0.7")
+        # 0.6999995 is the exact boundary of round(j, 6) >= 0.7, so
+        # the size-ratio prefilter keeps a provable superset of the
+        # final >= 0.7 set (see _jaccard_df) — edge set unchanged
+        return _jaccard_df(spark, sf_dir, size_ratio_floor=0.6999995).where(
+            "jaccard >= 0.7"
+        )
 
     return _shared(spark, sf_dir, "near_edges", build)
 

@@ -107,55 +107,46 @@ def connected_components(
 
     converged = False
     for it in range(max_iter):
+        # ONE join per round (r06): hop and jump fuse into the classic
+        # label-doubling step L'(v) = min(L(v), min L(N(v)), L(L(v)))
+        # by treating the label table itself as extra edges v -> L(v):
+        # the neighbor-min over sym ∪ label-edges then includes
+        # L(L(v)). Same fixpoint (component-min labels), still O(log
+        # diameter) rounds, but the per-round cost drops from two
+        # joins + a convergence join to one join + a checkpoint-local
+        # scan — CC on a 1k-edge graph measured 10.3 s -> per-round
+        # fixed overhead was the entire cost at small edge counts.
+        lab_edges = labels.select(
+            F.col("url").alias("src"), F.col("label").alias("dst")
+        )
         nbr_min = (
-            sym.join(labels.withColumnRenamed("url", "dst"), "dst")
+            sym.unionByName(lab_edges)
+            .join(labels.withColumnRenamed("url", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "url")
         )
-        hopped = labels.join(nbr_min, "url", "left").select(
-            "url",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-        )
-        # pointer jump: label(v) <- min(label(v), label(label(v))).
-        # Every label is the url of an in-component node, and every
-        # node has a labels row, so the lookup is a left join of the
-        # hopped table against itself keyed on label = url (null only
-        # transiently impossible; coalesce keeps it total regardless)
         round_fence = (
             _fence
             if it % _STATS_RESET_EVERY == _STATS_RESET_EVERY - 1
             else lambda df: df.localCheckpoint(eager=True)
         )
+        # labels only ever decrease, so carrying a per-row change flag
+        # into the fenced frame makes the convergence check a narrow
+        # filter+limit over the checkpoint — no join, no shuffle
         new_labels = round_fence(
-            hopped.join(
-                hopped.select(
-                    F.col("url").alias("label"),
-                    F.col("label").alias("jump_label"),
-                ),
-                "label",
-                "left",
-            ).select(
+            labels.join(nbr_min, "url", "left").select(
                 "url",
                 F.least(
-                    F.col("label"),
-                    F.coalesce("jump_label", F.col("label")),
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("chg"),
             )
         )
-        old_labels = labels
-        labels = new_labels
-        # jumping converges in O(log diameter) rounds, so every round
-        # is near the last — spend the convergence-check job each time
-        changed = (
-            new_labels.alias("n")
-            .join(old_labels.alias("o"), "url")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        labels = new_labels.drop("chg")
+        changed = new_labels.where("chg").limit(1).count()
         if changed == 0:
             converged = True
             break
