@@ -30,6 +30,7 @@ def test_fallback_path_matches_broadcast_path(spark, monkeypatch, qname):
     fn = eq.queries()[qname]
     fast = fn(spark, SF).toPandas()
     monkeypatch.setattr(eq, "_BCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(eq, "_BCAST_MAX_ARR_ROWS", 0)
     slow = fn(spark, SF).toPandas()
     pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
 

@@ -649,6 +649,14 @@ def _shared(spark, sf_dir: str, key: str, builder):
 # beyond it callers fall back to the skinny-row posting-join shape.
 _BCAST_MAX_ROWS = 500_000
 
+# Tighter bound for the FAT per-doc payloads (the distinct-shingle
+# arrays: ~300 strings ≈ 4.6 KB/row as an unsafe array, built TWICE —
+# one relation per join side): 150k rows keeps both built relations
+# ~1.5 GB together; above it the jaccard falls back to the posting
+# join, which is also the right plan at that size (only skinny rows
+# ever shuffle).
+_BCAST_MAX_ARR_ROWS = 150_000
+
 
 def _bcast_if_small(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= _BCAST_MAX_ROWS else df
@@ -856,7 +864,8 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def _jaccard_df(spark, sf_dir, size_ratio_floor: float | None = None):
     """Jaccard per candidate pair; broadcast shape when the corpus is
-    small, posting join above _BCAST_MAX_ROWS docs.
+    small, posting join above _BCAST_MAX_ARR_ROWS docs (the shingle
+    arrays are the fat payload — see the guard's comment).
 
     ``size_ratio_floor``: consumers that immediately filter
     ``jaccard >= tau`` (the near-dup edge builders) pass a SAFE
@@ -870,7 +879,7 @@ def _jaccard_df(spark, sf_dir, size_ratio_floor: float | None = None):
     so the >= tau edge set is IDENTICAL."""
     cands, _ = _cands(spark, sf_dir)
     arrs, n_docs = _sharr(spark, sf_dir)
-    if n_docs <= _BCAST_MAX_ROWS:
+    if n_docs <= _BCAST_MAX_ARR_ROWS:
         a = F.broadcast(
             arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
         )

@@ -49,7 +49,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # local mode: the driver JVM IS the executor, so it holds the
+        # broadcast relations, persisted chain blocks AND task memory;
+        # the sandbox has 128 GiB, and 12g was sized before the r06
+        # broadcast-attach paths. Deployments set SPARK_DRIVER_MEM (on
+        # a real cluster the driver only needs the broadcasts).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
