@@ -795,7 +795,18 @@ def _bands_df(spark, sf_dir) -> DataFrame:
 
 
 def _cands(spark, sf_dir):
-    """Shared distinct LSH candidate pairs (id_a, id_b)."""
+    """Shared distinct LSH candidate pairs (id_a, id_b).
+
+    INVARIANT (corpus_funnel parity depends on it — ADVICE r5): this
+    generator is EXHAUSTIVE and UNCAPPED. Docs with identical
+    normalized text have identical minhash vectors, hence identical
+    band hashes, hence are ALWAYS emitted as a candidate pair; the
+    funnel's c6 counts distinct cluster_id over the stage-4 set and
+    the DuckDB oracle over stage-5 exact-unique reps, which agree
+    only because same-text docs always end up in one cluster. Do NOT
+    add a bucket-size cap here (the production operator's salted cap
+    lives in operators/lsh.py and is deliberately not used by the
+    entry chain)."""
 
     def build():
         bands = _bands_df(spark, sf_dir)
