@@ -218,3 +218,31 @@ def test_latest_snapshot_tolerates_torn_marker(spark, tmp_path):
     assert marker.read_text() == "2"
     marker.write_text("not a number")
     assert cat.latest_snapshot("t") == 2
+
+
+def test_torn_scan_heal_survives_concurrent_unlink(tmp_path, monkeypatch):
+    """Two scans racing on the same healed leftover (or a scan racing
+    journal_commit's own unlink): the loser's unlink must not raise
+    FileNotFoundError and abort the scan mid-ingest (ADVICE r5)."""
+    import pathlib
+
+    from ufuzzy_spark.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(tmp_path / "cat")
+    cat.journal_begin("e2")
+    cat.journal_commit("e2")
+    # recreate the stale in-flight twin the heal branch targets
+    p = cat._journal_path("e2")
+    p.write_text(json.dumps({"ingest_id": "e2", "status": "begun"}))
+
+    orig_unlink = pathlib.Path.unlink
+
+    def racing_unlink(self, missing_ok=False):
+        # the competing healer wins between glob and our unlink
+        if self == p and self.exists():
+            orig_unlink(self)
+        return orig_unlink(self, missing_ok=missing_ok)
+
+    monkeypatch.setattr(pathlib.Path, "unlink", racing_unlink)
+    assert cat.torn_ingests() == []  # pre-fix: FileNotFoundError
+    assert not p.exists()

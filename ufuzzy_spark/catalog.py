@@ -375,7 +375,10 @@ class LocalParquetCatalog:
         for p in sorted(d.glob("*.json")):
             done = d / "committed" / p.name
             if done.exists():
-                p.unlink()  # commit landed; in-flight cleanup died
+                # commit landed; in-flight cleanup died. missing_ok:
+                # a concurrent scan (or journal_commit's own unlink)
+                # may heal the same leftover first (ADVICE r5)
+                p.unlink(missing_ok=True)
                 continue
             rec = json.loads(p.read_text())
             if rec["status"] == "committed":
