@@ -1731,3 +1731,39 @@ def test_line_dedup_plan_has_no_cartesian(spark):
     # first-occurrence election must partial-aggregate map-side (the
     # skew-collapse argument in the module docstring)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_flac_decode_bounds_total_samples():
+    """ADVICE r5: CONSTANT subframes / zero-bit escape partitions
+    expand ~3000x per frame, so decode_flac refuses streams whose
+    frames exceed STREAMINFO's declared total samples (and bounds
+    unknown-total streams with a hard max) instead of growing
+    unbounded int lists from a crafted crawl payload."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import numpy as np
+    from gen_media_fixture import flac_encode
+    from ufuzzy_spark.multimodal.flac import decode_flac
+
+    blk = 128
+    mono = np.full((2 * blk, 1), -777, dtype=np.int16)
+    specs = [{"assign": "indep", "subs": [("constant",)]}] * 2
+    payload = bytearray(flac_encode(8000, mono, specs, blk))
+
+    assert decode_flac(bytes(payload)) is not None  # valid as built
+
+    packed = int.from_bytes(payload[18:26], "big")
+    total = packed & 0xFFFFFFFFF
+    assert total == 2 * blk  # encoder declares the true length
+
+    # understate the declared total -> frames overrun it -> refused
+    payload[18:26] = ((packed & ~0xFFFFFFFFF) | (total - 1)).to_bytes(8, "big")
+    assert decode_flac(bytes(payload)) is None
+
+    # total=0 (unknown/streaming): valid stream still decodes under
+    # the hard per-channel max
+    payload[18:26] = ((packed & ~0xFFFFFFFFF) | 0).to_bytes(8, "big")
+    out = decode_flac(bytes(payload))
+    assert out is not None and np.array_equal(out, mono)

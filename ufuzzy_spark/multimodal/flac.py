@@ -148,7 +148,9 @@ def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     porder = r.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or (blocksize >> porder) < order:
+    # RFC 9639: predictor order strictly less than samples/partition
+    # (== would leave the first partition with zero residuals)
+    if blocksize % nparts or (blocksize >> porder) <= order:
         raise _Corrupt("bad partition order")
     out: list[int] = []
     for part in range(nparts):
@@ -229,7 +231,7 @@ def decode_flac(payload: bytes) -> np.ndarray | None:
             return None
         # metadata block walk
         i = 4
-        st_rate = st_ch = st_bits = 0
+        st_rate = st_ch = st_bits = st_total = 0
         last = False
         while not last and i + 4 <= len(p):
             last = bool(p[i] & 0x80)
@@ -243,11 +245,22 @@ def decode_flac(payload: bytes) -> np.ndarray | None:
                 st_rate = packed >> 44
                 st_ch = ((packed >> 41) & 0x7) + 1
                 st_bits = ((packed >> 36) & 0x1F) + 1
+                st_total = packed & 0xFFFFFFFFF  # 36-bit total samples
             i += 4 + blen
         if not last or i > len(p) or st_ch == 0:
             return None
         if i == len(p):
             return None  # STREAMINFO only: no essence
+
+        # Decoded-size bound (ADVICE r5): CONSTANT subframes and
+        # zero-bit escape partitions expand ~3000x per frame, so a
+        # tiny crafted payload (the input domain is web-crawl bytes)
+        # could otherwise exhaust executor memory in these int lists.
+        # A valid stream never exceeds STREAMINFO's total-samples
+        # declaration; when that field is 0 (unknown/streaming), fall
+        # back to a hard per-channel max (~16.7M samples ≈ 6 min of
+        # 44.1 kHz — far above any fixture, far below heap danger).
+        max_samples = st_total if st_total else (1 << 24)
 
         channels: list[list[int]] = [[] for _ in range(st_ch)]
         while i < len(p):
@@ -277,6 +290,8 @@ def decode_flac(payload: bytes) -> np.ndarray | None:
                 r.read(16)
             elif rate_code == 15:
                 raise _Corrupt("invalid sample rate code")
+            if len(channels[0]) + blocksize > max_samples:
+                return None  # exceeds declared/bounded stream length
             if crc8(p[frame_start : r.pos]) != r.read(8):
                 raise _Corrupt("frame header crc8 mismatch")
 
